@@ -1,0 +1,47 @@
+"""Data pipeline: dictionaries, session objects, loaders, vectorizers.
+
+TPU-native replacement for the reference's ``neuroir/inputters`` +
+``neuroir/objects`` layers (SURVEY.md SS2.1-SS2.2).
+"""
+
+from .dataset import BatchIterator
+from .dictionary import CharDictionary, Dictionary, build_dictionary
+from .loader import load_data, load_embedding_words, load_embeddings
+from .objects import Document, Query, Session
+from .synthetic import generate_sessions, write_fixture, write_glove_fixture
+from .vectorize import (
+    RankBatch,
+    SessionBatch,
+    ShapeConfig,
+    SuggestBatch,
+    build_rank_batch,
+    build_session_batch,
+    build_suggest_batch,
+    rank_examples,
+    suggest_examples,
+)
+
+__all__ = [
+    "BatchIterator",
+    "CharDictionary",
+    "Dictionary",
+    "build_dictionary",
+    "load_data",
+    "load_embedding_words",
+    "load_embeddings",
+    "Document",
+    "Query",
+    "Session",
+    "generate_sessions",
+    "write_fixture",
+    "write_glove_fixture",
+    "RankBatch",
+    "SessionBatch",
+    "ShapeConfig",
+    "SuggestBatch",
+    "build_rank_batch",
+    "build_session_batch",
+    "build_suggest_batch",
+    "rank_examples",
+    "suggest_examples",
+]

@@ -1,0 +1,102 @@
+"""Beam search as a pure-functional jit-compiled scan.
+
+Parity target: the reference's OpenNMT-style beam with length penalty and
+n-best output (SURVEY.md SS2.7, marker ``exp:`` for
+``neuroir/translator/{beam.py,penalties.py}``; BASELINE.json:5 "seq2seq
+query-suggestion decoder (with beam search)").
+
+TPU-first redesign (SURVEY.md SS7 hard part (b)): beam state is a PyTree of
+static-shape arrays ``[B*K, ...]``; each step is (expand -> top-k over K*V
+-> gather), all static shapes; beam reordering is a ``jnp.take`` over the
+flattened beam axis applied uniformly to the whole decoder-state pytree.
+Finished beams are frozen by forcing PAD continuations with zero added
+log-prob.  GNMT length penalty ``((5+len)/6)^alpha`` ranks hypotheses.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import BOS, EOS, PAD
+from ..ops.masking import NEG_INF
+
+StepFn = Callable[..., tuple]  # (state, tokens [B*K]) -> (state, logp [B*K, V])
+
+
+def _tile_beam(tree, beam_size: int):
+    """Tile every leaf [B, ...] -> [B*K, ...] (beam-major within batch)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, beam_size, axis=0), tree)
+
+
+def _gather_beams(tree, parent: jnp.ndarray, batch_size: int,
+                  beam_size: int):
+    """Reindex leaves [B*K, ...] by parent beam ids [B, K]."""
+    offsets = jnp.arange(batch_size)[:, None] * beam_size
+    flat_idx = (parent + offsets).reshape(-1)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.take(x, flat_idx, axis=0), tree)
+
+
+def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
+
+
+def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
+                beam_size: int = 5, alpha: float = 0.6,
+                vocab_size: int | None = None):
+    """Returns (best tokens [B, max_len], best score [B]).
+
+    ``step_fn`` operates on a flattened ``[B*K]`` beam batch;
+    ``init_state`` holds ``[B, ...]`` leaves and is tiled here.
+    """
+    B, K = batch_size, beam_size
+    state = _tile_beam(init_state, K)
+
+    tokens = jnp.full((B, K), BOS, jnp.int32)
+    # only beam 0 is live initially so the first top-k doesn't pick K copies
+    logps = jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1)), (B, 1))
+    finished = jnp.zeros((B, K), bool)
+    lengths = jnp.zeros((B, K), jnp.int32)
+    seqs = jnp.full((B, K, max_len), PAD, jnp.int32)
+
+    def body(carry, t):
+        state, tokens, logps, finished, lengths, seqs = carry
+        state, logp = step_fn(state, tokens.reshape(B * K))
+        V = logp.shape[-1]
+        logp = logp.reshape(B, K, V)
+        # frozen beams: only PAD continues, at zero cost
+        pad_only = jnp.full((V,), NEG_INF).at[PAD].set(0.0)
+        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+        total = logps[..., None] + logp                       # [B, K, V]
+        flat = total.reshape(B, K * V)
+        top_logp, top_idx = jax.lax.top_k(flat, K)            # [B, K]
+        parent = top_idx // V
+        tok = (top_idx % V).astype(jnp.int32)
+        state = _gather_beams(state, parent, B, K)
+        take = lambda x: jnp.take_along_axis(x, parent, axis=1)
+        finished_p = take(finished)
+        lengths_p = take(lengths)
+        seqs_p = jnp.take_along_axis(seqs, parent[..., None], axis=1)
+        still = ~finished_p
+        lengths_n = lengths_p + still.astype(jnp.int32)
+        finished_n = finished_p | (tok == EOS)
+        seqs_n = seqs_p.at[:, :, t].set(jnp.where(still, tok, PAD))
+        return (state, tok, top_logp, finished_n, lengths_n, seqs_n), None
+
+    carry = (state, tokens, logps, finished, lengths, seqs)
+    (state, tokens, logps, finished, lengths, seqs), _ = jax.lax.scan(
+        body, carry, jnp.arange(max_len))
+
+    # rank by length-normalized score; prefer finished hypotheses
+    norm = logps / length_penalty(jnp.maximum(lengths, 1), alpha)
+    norm = jnp.where(finished, norm, norm + NEG_INF * 0.0)  # keep unfinished
+    # if nothing finished, unfinished beams still rank by their norm score
+    best = jnp.argmax(norm + finished.astype(norm.dtype) * 1e4, axis=-1)
+    best_seq = jnp.take_along_axis(
+        seqs, best[:, None, None], axis=1)[:, 0]              # [B, T]
+    best_score = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    return best_seq, best_score

@@ -1,0 +1,209 @@
+"""CARS: Context Attentive document-Ranking and query-Suggestion.
+
+Parity target: ``neuroir/multitask/cars.py`` (SURVEY.md SS2.6 "CARS
+internals", marker ``exp:``; BASELINE.json:11; paper arXiv:1906.02329 SS3):
+
+- shared pretrained word embeddings across all encoders;
+- BiLSTM query encoder (token states + pooled vector);
+- BiLSTM document encoder with *query-aware attention pooling*;
+- two session-level recurrences: a query-flow RNN over query
+  representations and a click-flow RNN over clicked-document
+  representations;
+- context attention over all previous in-session query/click states,
+  gated into the current query representation -- used by BOTH heads;
+- ranking head scoring all 50 candidates; listwise softmax CE on clicks;
+- suggestion head: attention LSTM decoder over the context-enriched
+  encoding; NLL against the next query; beam search at inference.
+
+TPU redesign (NOT a port of the reference's per-turn Python loop,
+SURVEY.md SS3.2): encoders run over flattened ``[B*S(,N)]`` slates; the two
+session recurrences are length-S ``lax.scan``s; context attention over
+previous turns is ONE causally-masked einsum over the 2S-slot (query-flow +
+click-flow) memory -- exact because attention does not feed back into the
+recurrences; ranking scores the whole ``[B, S, N]`` slate in one fused MLP;
+all S suggestion decoders run as one teacher-forced scan over ``[B*S]``
+rows.  No label leakage: click states only reach ranking at *later* turns
+(strictly-causal mask), while the suggestion head (which legitimately
+observes turn t's clicks) also gets the inclusive click state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...config import ModelConfig
+from ...data.vectorize import SessionBatch
+from ...ops.attention import AttentionPool
+from ...ops.decoder import AttnLSTMDecoder
+from ...ops.layers import MLP
+from ...ops.masking import masked_softmax
+from ...ops.rnn import RNNEncoder, RNNLayer
+from ..base import compute_dtype, make_embeddings
+from ..generator import Generator
+
+
+class CARS(nn.Module):
+    config: ModelConfig
+    pretrained: Optional[np.ndarray] = None
+
+    def setup(self):
+        cfg = self.config
+        dt = compute_dtype(cfg)
+        self._dt = dt
+        self._h2 = cfg.nhid * (2 if cfg.bidirection else 1)
+        h2 = self._h2
+        self.embeddings = make_embeddings(cfg, self.pretrained)
+        self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
+                                        cfg.bidirection, cfg.dropout_rnn,
+                                        dtype=dt)
+        self.doc_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
+                                      cfg.bidirection, cfg.dropout_rnn,
+                                      dtype=dt)
+        self.query_pool = AttentionPool(h2, dtype=dt)
+        self.doc_pool = AttentionPool(h2, dtype=dt)
+        self.query_flow = RNNLayer(h2, cfg.session_rnn_type,
+                                   bidirectional=False, dtype=dt)
+        self.click_flow = RNNLayer(h2, cfg.session_rnn_type,
+                                   bidirectional=False, dtype=dt)
+        # context attention (additive scores + gate; see SS2.6)
+        self.ctx_wq = nn.Dense(h2, dtype=dt)
+        self.ctx_wm = nn.Dense(h2, use_bias=False, dtype=dt)
+        self.ctx_v = nn.Dense(1, use_bias=False, dtype=dt)
+        self.ctx_gate = nn.Dense(h2, dtype=dt)
+        self.rank_mlp = MLP((cfg.nhid_ffnn, 1), activation=jnp.tanh,
+                            final_activation=False, dropout=cfg.dropout,
+                            dtype=dt)
+        self.mem_proj = nn.Dense(h2, dtype=dt)
+        self.init_proj = nn.Dense(h2, dtype=dt)
+        self.decoder = AttnLSTMDecoder(features=h2, embed_dim=cfg.emsize,
+                                       num_layers=cfg.nlayers,
+                                       attn_type=cfg.attn_type,
+                                       dropout=cfg.dropout_rnn, dtype=dt)
+        self.generator = Generator(cfg.vocab_size, tie=cfg.tie_embeddings,
+                                   dtype=dt)
+
+    # -- session encoding ----------------------------------------------------
+
+    def encode_session(self, batch: SessionBatch,
+                       deterministic: bool = True):
+        B, S, Lq = batch.query.shape
+        _, _, N, Ld = batch.docs.shape
+        q = self.embeddings(batch.query, deterministic)
+        d = self.embeddings(batch.docs, deterministic)
+
+        q_states, _ = self.query_encoder(
+            q.reshape(B * S, Lq, -1), batch.query_mask.reshape(B * S, Lq),
+            deterministic)
+        q_states = q_states.reshape(B, S, Lq, -1)
+        qv = self.query_pool(q_states, batch.query_mask)       # [B, S, H2]
+
+        d_states, _ = self.doc_encoder(
+            d.reshape(B * S * N, Ld, -1),
+            batch.doc_mask.reshape(B * S * N, Ld), deterministic)
+        d_states = d_states.reshape(B, S, N, Ld, -1)
+        # query-aware attentive pooling: each candidate pools its tokens
+        # w.r.t. its query vector
+        dv = self.doc_pool(d_states, batch.doc_mask,
+                           jnp.broadcast_to(qv[:, :, None, :],
+                                            d_states.shape[:3]
+                                            + (qv.shape[-1],)))  # [B,S,N,H2]
+
+        # query-flow recurrence over turns
+        sq, _ = self.query_flow(qv, batch.turn_mask)           # [B, S, H2]
+
+        # click-flow recurrence over aggregated clicked-doc representations
+        clicks = batch.clicks * batch.cand_mask.astype(batch.clicks.dtype)
+        n_clicks = jnp.maximum(jnp.sum(clicks, axis=-1, keepdims=True), 1.0)
+        click_repr = jnp.einsum("bsn,bsnh->bsh",
+                                (clicks / n_clicks).astype(dv.dtype), dv)
+        has_click = (jnp.sum(clicks, axis=-1) > 0) & batch.turn_mask
+        sc, _ = self.click_flow(click_repr, has_click)         # [B, S, H2]
+
+        return q_states, qv, dv, sq, sc
+
+    def context_attend(self, qv, sq, sc, turn_mask):
+        """Gated attention over all previous query-flow + click-flow states.
+
+        Memory has 2S slots ([sq_0..sq_{S-1}, sc_0..sc_{S-1}]); turn t may
+        see slots with turn index strictly < t.  Returns the context-aware
+        query representation [B, S, H2].
+        """
+        B, S, H = sq.shape
+        memory = jnp.concatenate([sq, sc], axis=1)             # [B, 2S, H]
+        tri = jnp.tril(jnp.ones((S, S), bool), k=-1)           # tri[t, j] = j < t
+        cmask = jnp.concatenate([tri, tri], axis=1)            # [S, 2S]
+        cmask = (cmask[None] &
+                 jnp.concatenate([turn_mask, turn_mask], -1)[:, None, :])
+        scores = self.ctx_v(jnp.tanh(
+            self.ctx_wq(qv)[:, :, None, :]
+            + self.ctx_wm(memory)[:, None, :, :]))[..., 0]     # [B, S, 2S]
+        align = masked_softmax(scores, cmask, axis=-1)
+        context = jnp.einsum("btm,bmh->bth", align, memory)
+        g = jax.nn.sigmoid(self.ctx_gate(
+            jnp.concatenate([qv, context], axis=-1)))
+        has_ctx = cmask.any(-1)[..., None].astype(qv.dtype)
+        g = g * has_ctx + (1.0 - has_ctx)
+        del B, H
+        return g * qv + (1.0 - g) * context
+
+    def rank_scores(self, q_ctx, dv):
+        qb = jnp.broadcast_to(q_ctx[:, :, None, :], dv.shape)
+        feats = jnp.concatenate([qb, dv, qb * dv], axis=-1)
+        return self.rank_mlp(feats, True)[..., 0]              # [B, S, N]
+
+    def _decoder_inputs(self, q_states, q_ctx, sq, sc, batch):
+        """Context-enriched decoder memory + init state, flattened [B*S]."""
+        B, S, Lq = batch.query.shape
+        ctx_b = jnp.broadcast_to(q_ctx[:, :, None, :],
+                                 q_states.shape[:3] + (q_ctx.shape[-1],))
+        memory = jnp.tanh(self.mem_proj(
+            jnp.concatenate([q_states, ctx_b], axis=-1)))      # [B,S,Lq,H2]
+        init = jnp.tanh(self.init_proj(
+            jnp.concatenate([q_ctx, sq, sc], axis=-1)))        # [B, S, H2]
+        return (memory.reshape(B * S, Lq, -1),
+                batch.query_mask.reshape(B * S, Lq),
+                init.reshape(B * S, -1))
+
+    # -- forward -------------------------------------------------------------
+
+    def __call__(self, batch: SessionBatch, deterministic: bool = True):
+        B, S, _ = batch.query.shape
+        Lt = batch.target_in.shape[-1]
+        q_states, qv, dv, sq, sc = self.encode_session(batch, deterministic)
+        q_ctx = self.context_attend(qv, sq, sc, batch.turn_mask)
+        scores = self.rank_scores(q_ctx, dv)
+        memory, mem_mask, init = self._decoder_inputs(q_states, q_ctx, sq,
+                                                      sc, batch)
+        tgt = self.embeddings(batch.target_in, deterministic)
+        attn_hs, _ = self.decoder(tgt.reshape(B * S, Lt, -1), memory,
+                                  mem_mask, init, deterministic)
+        logits = self.generator(attn_hs, self.embeddings)
+        return {"scores": scores,
+                "gen_logits": logits.reshape(B, S, Lt, -1)}
+
+    # -- inference -----------------------------------------------------------
+
+    def score(self, batch: SessionBatch):
+        _, qv, dv, sq, sc = self.encode_session(batch, True)
+        q_ctx = self.context_attend(qv, sq, sc, batch.turn_mask)
+        return self.rank_scores(q_ctx, dv)
+
+    def decode_init(self, batch: SessionBatch):
+        q_states, qv, dv, sq, sc = self.encode_session(batch, True)
+        q_ctx = self.context_attend(qv, sq, sc, batch.turn_mask)
+        memory, mem_mask, init = self._decoder_inputs(q_states, q_ctx, sq,
+                                                      sc, batch)
+        state = self.decoder.init_state(memory.shape[0], init)
+        return state, memory, mem_mask
+
+    def decode_step(self, state, tokens, memory, memory_mask):
+        emb_t = self.embeddings(tokens, True)
+        state, attn_h, _ = self.decoder.step(state, emb_t, memory,
+                                             memory_mask)
+        logits = self.generator(attn_h, self.embeddings)
+        return state, jax.nn.log_softmax(logits, axis=-1)

@@ -1,0 +1,74 @@
+"""Seq2seq(+Attention) next-query recommender.
+
+Parity target: ``neuroir/recommender/seq2seq.py`` (SURVEY.md SS2.5, marker
+``exp:``): encode the session context (flat concatenation of previous
+queries), attention decoder generates the next query, token NLL loss.
+
+Decode contract shared by all suggestion models (consumed by ``decode/``):
+
+- ``decode_init(batch)``  -> (decoder state, memory, memory_mask)
+- ``decode_step(state, tokens, memory, memory_mask)``
+                          -> (new state, log-probs [B, V])
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...config import ModelConfig
+from ...data.vectorize import SuggestBatch
+from ...ops.decoder import AttnLSTMDecoder
+from ...ops.rnn import RNNEncoder
+from ..base import compute_dtype, make_embeddings
+from ..generator import Generator
+
+
+class Seq2seq(nn.Module):
+    config: ModelConfig
+    pretrained: Optional[np.ndarray] = None
+
+    def setup(self):
+        cfg = self.config
+        dt = compute_dtype(cfg)
+        self._dt = dt
+        self.embeddings = make_embeddings(cfg, self.pretrained)
+        self.encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
+                                  cfg.bidirection, cfg.dropout_rnn, dtype=dt)
+        h2 = cfg.nhid * (2 if cfg.bidirection else 1)
+        self.decoder = AttnLSTMDecoder(features=h2, embed_dim=cfg.emsize,
+                                       num_layers=cfg.nlayers,
+                                       attn_type=cfg.attn_type,
+                                       dropout=cfg.dropout_rnn, dtype=dt)
+        self.generator = Generator(cfg.vocab_size, tie=cfg.tie_embeddings,
+                                   dtype=dt)
+
+    def encode(self, batch: SuggestBatch, deterministic: bool = True):
+        src = self.embeddings(batch.source, deterministic)
+        memory, final = self.encoder(src, batch.source_mask, deterministic)
+        return memory, batch.source_mask, final
+
+    def __call__(self, batch: SuggestBatch, deterministic: bool = True):
+        memory, memory_mask, final = self.encode(batch, deterministic)
+        tgt = self.embeddings(batch.target_in, deterministic)
+        attn_hs, _ = self.decoder(tgt, memory, memory_mask, final,
+                                  deterministic)
+        return self.generator(attn_hs, self.embeddings)   # [B, T, V]
+
+    # -- inference ----------------------------------------------------------
+
+    def decode_init(self, batch: SuggestBatch):
+        memory, memory_mask, final = self.encode(batch, True)
+        state = self.decoder.init_state(memory.shape[0], final)
+        return state, memory, memory_mask
+
+    def decode_step(self, state, tokens, memory, memory_mask):
+        emb_t = self.embeddings(tokens, True)
+        state, attn_h, _ = self.decoder.step(state, emb_t, memory,
+                                             memory_mask)
+        logits = self.generator(attn_h, self.embeddings)
+        return state, jax.nn.log_softmax(logits, axis=-1)

@@ -1,0 +1,166 @@
+"""Recurrent encoders as MXU-friendly ``lax.scan``s.
+
+Parity target: the reference's ``neuroir/modules/encoder.py`` RNN wrapper
+(uni/bi LSTM/GRU, ``--rnn_type --bidirection --nlayers --nhid``;
+SURVEY.md SS2.3, marker ``exp:``).
+
+TPU-first redesign (NOT a port of cuDNN RNNs):
+
+- The input projection ``x @ W_x`` for *all* timesteps is hoisted out of the
+  recurrence into one large ``[B*T, D] @ [D, 4H]`` matmul that XLA tiles onto
+  the MXU.  Only the ``h @ W_h`` recurrence + elementwise gates live inside
+  ``lax.scan`` -- the standard TPU RNN decomposition.
+- Padding is handled by carrying state through masked steps (``jnp.where``),
+  so no host-side packing/sorting is needed and shapes stay static.
+- Gate ordering matches torch (``i, f, g, o`` for LSTM; ``r, z, n`` for GRU)
+  so the golden-value tests in ``tests/test_rnn_golden.py`` can copy torch
+  weights verbatim (SURVEY.md SS4).
+- A fused Pallas kernel for the scan body lives in ``ops/pallas/lstm.py``;
+  this module is the always-correct reference path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def lstm_scan(
+    x_proj: jnp.ndarray,   # [B, T, 4H]  = x @ W_ih + b (precomputed)
+    mask: jnp.ndarray,     # bool [B, T]
+    w_hh: jnp.ndarray,     # [H, 4H]
+    h0: jnp.ndarray,       # [B, H]
+    c0: jnp.ndarray,       # [B, H]
+    reverse: bool = False,
+):
+    """Masked LSTM over time. Returns (outputs [B, T, H], (hT, cT))."""
+    H = w_hh.shape[0]
+
+    def step(carry, inp):
+        h, c = carry
+        xp, m = inp  # [B, 4H], [B]
+        gates = xp + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = m[:, None]
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), h
+
+    xs = (jnp.swapaxes(x_proj, 0, 1), jnp.swapaxes(mask, 0, 1))
+    (hT, cT), outs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    outs = jnp.swapaxes(outs, 0, 1)  # [B, T, H]
+    outs = outs * mask[..., None].astype(outs.dtype)
+    del H
+    return outs, (hT, cT)
+
+
+def gru_scan(
+    x_proj: jnp.ndarray,   # [B, T, 3H] = x @ W_ih + b_ih
+    mask: jnp.ndarray,     # bool [B, T]
+    w_hh: jnp.ndarray,     # [H, 3H]
+    b_hh: jnp.ndarray,     # [3H]  (separate, needed for torch-exact n-gate)
+    h0: jnp.ndarray,       # [B, H]
+    reverse: bool = False,
+):
+    """Masked GRU over time (torch gate semantics). Returns (outs, hT)."""
+    H = w_hh.shape[0]
+
+    def step(h, inp):
+        xp, m = inp
+        hp = h @ w_hh + b_hh
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h = jnp.where(m[:, None], h_new, h)
+        return h, h
+
+    xs = (jnp.swapaxes(x_proj, 0, 1), jnp.swapaxes(mask, 0, 1))
+    hT, outs = jax.lax.scan(step, h0, xs, reverse=reverse)
+    outs = jnp.swapaxes(outs, 0, 1)
+    outs = outs * mask[..., None].astype(outs.dtype)
+    del H
+    return outs, hT
+
+
+class RNNLayer(nn.Module):
+    """One (optionally bidirectional) LSTM/GRU layer."""
+
+    features: int
+    rnn_type: str = "lstm"       # 'lstm' | 'gru'
+    bidirectional: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 h0: Optional[jnp.ndarray] = None):
+        B, T, D = x.shape
+        H = self.features
+        n_gates = 4 if self.rnn_type == "lstm" else 3
+        dirs = ["fwd", "bwd"] if self.bidirectional else ["fwd"]
+        outs, finals = [], []
+        x = x.astype(self.dtype)
+        for d in dirs:
+            w_ih = self.param(f"w_ih_{d}", nn.initializers.glorot_uniform(),
+                              (D, n_gates * H), self.param_dtype)
+            w_hh = self.param(f"w_hh_{d}", nn.initializers.orthogonal(),
+                              (H, n_gates * H), self.param_dtype)
+            b_ih = self.param(f"b_ih_{d}", nn.initializers.zeros,
+                              (n_gates * H,), self.param_dtype)
+            # one big MXU matmul over all timesteps
+            x_proj = x @ w_ih.astype(self.dtype) + b_ih.astype(self.dtype)
+            h_init = jnp.zeros((B, H), self.dtype) if h0 is None else h0
+            if self.rnn_type == "lstm":
+                o, (hT, _cT) = lstm_scan(
+                    x_proj, mask, w_hh.astype(self.dtype), h_init,
+                    jnp.zeros((B, H), self.dtype), reverse=(d == "bwd"))
+            else:
+                b_hh = self.param(f"b_hh_{d}", nn.initializers.zeros,
+                                  (n_gates * H,), self.param_dtype)
+                o, hT = gru_scan(x_proj, mask, w_hh.astype(self.dtype),
+                                 b_hh.astype(self.dtype), h_init,
+                                 reverse=(d == "bwd"))
+            outs.append(o)
+            finals.append(hT)
+        out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        final = jnp.concatenate(finals, axis=-1) if len(finals) > 1 else finals[0]
+        return out, final
+
+
+class RNNEncoder(nn.Module):
+    """Stacked RNN encoder: per-token states + final state.
+
+    Mirrors the reference ``Encoder`` contract (SURVEY.md SS2.3): returns
+    hidden states ``[B, T, H*dirs]`` and the final state ``[B, H*dirs]``.
+    Inter-layer dropout follows the reference's ``--dropout_rnn``.
+    """
+
+    features: int               # per-direction hidden size
+    num_layers: int = 1
+    rnn_type: str = "lstm"
+    bidirectional: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 deterministic: bool = True):
+        out = x
+        final = None
+        for layer in range(self.num_layers):
+            if layer > 0 and self.dropout > 0:
+                out = nn.Dropout(self.dropout)(
+                    out, deterministic=deterministic)
+            out, final = RNNLayer(
+                self.features, self.rnn_type, self.bidirectional,
+                self.dtype, self.param_dtype, name=f"layer{layer}")(out, mask)
+        return out, final

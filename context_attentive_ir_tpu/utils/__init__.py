@@ -1,0 +1,7 @@
+"""Utilities: meters, logging, tables (SURVEY.md SS2.9 'Utils')."""
+
+from .logging import MetricsWriter, format_table, setup_logging
+from .meters import AverageMeter, Timer
+
+__all__ = ["MetricsWriter", "format_table", "setup_logging",
+           "AverageMeter", "Timer"]

