@@ -1,0 +1,171 @@
+"""Training-engine tests: overfit gates, checkpoint round-trip, DP
+equivalence on a multi-device mesh (SURVEY.md SS4).
+
+Kept small: this host has ONE cpu core; every test uses tiny dims and few
+steps, asserting *relative* loss reduction rather than convergence.
+"""
+
+import tempfile
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from context_attentive_ir_tpu.config import RunConfig, default_config
+from context_attentive_ir_tpu.data import build_dictionary, generate_sessions
+from context_attentive_ir_tpu.data.objects import Session
+from context_attentive_ir_tpu.models import build_model, task_family
+from context_attentive_ir_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from context_attentive_ir_tpu.train import (
+    Checkpointer,
+    Trainer,
+    create_train_state,
+    make_iterator,
+    make_train_step,
+)
+
+DIMS = dict(emsize=16, nhid=8, nhid_ffnn=16, nfilters=8,
+            max_query_len=6, max_doc_len=8, max_session_len=3,
+            num_candidates=5, dropout=0.0, dropout_emb=0.0, dropout_rnn=0.0)
+
+
+@pytest.fixture(scope="module")
+def data():
+    sessions = [Session.from_dict(d)
+                for d in generate_sessions(n_sessions=8, n_candidates=5,
+                                           seed=11)]
+    for s in sessions:
+        s.queries = s.queries[:3]
+        for q in s.queries:
+            q.tokens = q.tokens[:6]
+            q.documents = q.documents[:5]
+            for d in q.documents:
+                d.tokens = d.tokens[:8]
+    streams = [q.tokens for s in sessions for q in s.queries]
+    streams += [d.tokens for s in sessions for q in s.queries
+                for d in q.documents]
+    return sessions, build_dictionary(streams)
+
+
+def _fit_steps(model_type, sessions, word_dict, n_steps=40, lr=5e-3):
+    cfg = default_config(model_type).replace(
+        vocab_size=len(word_dict), learning_rate=lr, **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=8,
+                       shuffle=False, seed=0)
+    batch = next(iter(it.epoch(0)))
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    rng = jax.random.key(1)
+    losses = []
+    for _ in range(n_steps):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    return losses
+
+
+# one model per mechanism family keeps the single-core suite tractable;
+# the full zoo is smoke-tested in test_models.py
+@pytest.mark.parametrize("model_type", [
+    "dssm", "arcii", "match_tensor", "seq2seq", "hredqs", "acg",
+    "mnsrf", "cars",
+])
+def test_overfit_gate(model_type, data):
+    """Every trainable model must fit one fixture batch: final loss well
+    below initial (SURVEY.md SS4 'overfits in <100 steps')."""
+    sessions, word_dict = data
+    losses = _fit_steps(model_type, sessions, word_dict)
+    assert np.isfinite(losses).all(), losses[-5:]
+    assert losses[-1] < 0.6 * losses[0], (
+        f"{model_type}: {losses[0]:.4f} -> {losses[-1]:.4f}")
+
+
+def test_checkpoint_roundtrip(data, tmp_path):
+    sessions, word_dict = data
+    cfg = default_config("dssm").replace(vocab_size=len(word_dict), **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=4,
+                       shuffle=False, seed=0)
+    batch = next(iter(it.epoch(0)))
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    ck = Checkpointer(tmp_path, "m", async_save=False)
+    ck.save_best(state, cfg, word_dict, {"epoch": 3})
+    # template with different values
+    state2 = create_train_state(model, cfg, batch, jax.random.key(9))
+    restored = Checkpointer.load(ck.best_path, state2)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    saved_cfg, saved_vocab, extra = Checkpointer.peek(ck.best_path)
+    assert saved_cfg.model_type == "dssm"
+    assert extra["epoch"] == 3
+    assert saved_vocab.tok2ind == word_dict.tok2ind
+
+
+def test_checkpoint_override_args(data, tmp_path):
+    """Architecture comes from the checkpoint; runtime flags from the new
+    invocation (reference override_model_args semantics)."""
+    sessions, word_dict = data
+    cfg = default_config("dssm").replace(vocab_size=len(word_dict), **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=4,
+                       shuffle=False, seed=0)
+    state = create_train_state(model, cfg, next(iter(it.epoch(0))),
+                               jax.random.key(0))
+    ck = Checkpointer(tmp_path, "m", async_save=False)
+    ck.save_best(state, cfg, word_dict, {})
+    new_cfg = default_config("dssm").replace(
+        vocab_size=1, nhid=999, learning_rate=0.123)
+    merged, vocab, _ = Checkpointer.load_for_test(ck.best_path, new_cfg)
+    assert merged.nhid == cfg.nhid              # architecture preserved
+    assert merged.vocab_size == len(word_dict)
+    assert merged.learning_rate == 0.123        # runtime overridden
+
+
+def test_data_parallel_matches_single_device(data):
+    """DP over an 8-device mesh must produce the same losses as 1 device
+    (exercises the pjit path on forced CPU devices, SURVEY.md SS4)."""
+    sessions, word_dict = data
+    assert len(jax.devices()) >= 8, "conftest must force 8 cpu devices"
+    cfg = default_config("dssm").replace(
+        vocab_size=len(word_dict), learning_rate=1e-2, **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=8,
+                       shuffle=False, seed=0)
+    batch = next(iter(it.epoch(0)))
+
+    def run(mesh_devices):
+        mesh = make_mesh(mesh_devices)
+        state = create_train_state(model, cfg, batch, jax.random.key(0))
+        state = jax.device_put(state, replicated(mesh))
+        step = make_train_step(model, cfg, mesh)
+        rng = jax.random.key(1)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, shard_batch(batch, mesh), rng)
+            losses.append(float(m["loss"]))
+        return losses
+
+    l1 = run(jax.devices()[:1])
+    l8 = run(jax.devices()[:8])
+    np.testing.assert_allclose(l1, l8, rtol=2e-4)
+
+
+def test_trainer_early_stopping(data, tmp_path):
+    sessions, word_dict = data
+    cfg = default_config("esm").replace(vocab_size=len(word_dict), **DIMS)
+    run = RunConfig(model_dir=str(tmp_path), model_name="esm",
+                    batch_size=8, test_batch_size=8, num_epochs=10,
+                    early_stop=2, valid_metric="map", display_iter=100)
+    tr = Trainer(cfg, run, word_dict, use_mesh=False)
+    out = tr.fit(sessions, sessions)
+    # ESM has only the (trainable-but-useless-here) embedding; metric is
+    # constant -> first epoch sets best, then 2 non-improving epochs stop it
+    assert len(out["history"]) == 3
+    assert tr.ckpt.best_path.exists()
+    assert tr.ckpt.latest_path.exists()
