@@ -26,6 +26,7 @@ def setup_logging(log_file: str | Path | None = None,
         sh.setFormatter(fmt)
         root.addHandler(sh)
     if log_file is not None:
+        Path(log_file).parent.mkdir(parents=True, exist_ok=True)
         fh = logging.FileHandler(str(log_file))
         fh.setFormatter(fmt)
         root.addHandler(fh)
