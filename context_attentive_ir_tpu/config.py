@@ -51,7 +51,10 @@ class ModelConfig:
     model_type: str = "cars"
     vocab_size: int = 0          # filled from the Dictionary at build time
     emsize: int = 300            # word embedding dim (GloVe 300-d)
-    nhid: int = 150              # per-direction RNN hidden size
+    # per-direction RNN hidden size; the default is 128 (not the paper-era
+    # 150) so state tensors land exactly on the TPU's 128-lane registers
+    # and the fused Pallas LSTM kernel applies (ops/pallas/lstm.py)
+    nhid: int = 128
     nlayers: int = 1
     bidirection: bool = True
     rnn_type: str = "lstm"
@@ -84,8 +87,11 @@ class ModelConfig:
     grad_clipping: float = 5.0
     lr_decay: float = 0.95
     warmup_steps: int = 0
-    # precision
+    # precision / kernels
     compute_dtype: str = "float32"   # 'bfloat16' on TPU for the fast path
+    # dispatch eval-mode LSTM encoders to the fused Pallas kernel when the
+    # shape qualifies (TPU only; training always uses the scan path)
+    use_pallas_rnn: bool = False
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
@@ -142,6 +148,7 @@ class RunConfig:
     only_test: bool = False
     max_examples: int = -1
     async_checkpoint: bool = True
+    native_vectorizer: bool = True  # use native fastvec when buildable
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

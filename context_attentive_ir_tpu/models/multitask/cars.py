@@ -60,10 +60,12 @@ class CARS(nn.Module):
         self.embeddings = make_embeddings(cfg, self.pretrained)
         self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                         cfg.bidirection, cfg.dropout_rnn,
-                                        dtype=dt)
+                                        dtype=dt,
+                   use_pallas=cfg.use_pallas_rnn)
         self.doc_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                       cfg.bidirection, cfg.dropout_rnn,
-                                      dtype=dt)
+                                      dtype=dt,
+                   use_pallas=cfg.use_pallas_rnn)
         self.query_pool = AttentionPool(h2, dtype=dt)
         self.doc_pool = AttentionPool(h2, dtype=dt)
         self.query_flow = RNNLayer(h2, cfg.session_rnn_type,

@@ -43,10 +43,12 @@ class MMatchTensor(nn.Module):
         self.embeddings = make_embeddings(cfg, self.pretrained)
         self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                         cfg.bidirection, cfg.dropout_rnn,
-                                        dtype=dt)
+                                        dtype=dt,
+                   use_pallas=cfg.use_pallas_rnn)
         self.doc_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                       cfg.bidirection, cfg.dropout_rnn,
-                                      dtype=dt)
+                                      dtype=dt,
+                   use_pallas=cfg.use_pallas_rnn)
         self.q_proj = nn.Dense(cfg.nfilters, dtype=dt)
         self.d_proj = nn.Dense(cfg.nfilters, dtype=dt)
         self.conv0 = nn.Conv(cfg.nfilters, kernel_size=(3, 3),

@@ -49,10 +49,12 @@ class MNSRF(nn.Module):
         self.embeddings = make_embeddings(cfg, self.pretrained)
         self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                         cfg.bidirection, cfg.dropout_rnn,
-                                        dtype=dt)
+                                        dtype=dt,
+                   use_pallas=cfg.use_pallas_rnn)
         self.doc_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                       cfg.bidirection, cfg.dropout_rnn,
-                                      dtype=dt)
+                                      dtype=dt,
+                   use_pallas=cfg.use_pallas_rnn)
         self.session_rnn = RNNLayer(self._h2, cfg.session_rnn_type,
                                     bidirectional=False, dtype=dt)
         self.rank_mlp = MLP((cfg.nhid_ffnn, 1), activation=jnp.tanh,

@@ -46,10 +46,12 @@ class MatchTensor(nn.Module):
 
         q_enc = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                            cfg.bidirection, cfg.dropout_rnn, dtype=dt,
-                           name="query_encoder")
+                           name="query_encoder",
+                   use_pallas=cfg.use_pallas_rnn)
         d_enc = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                            cfg.bidirection, cfg.dropout_rnn, dtype=dt,
-                           name="doc_encoder")
+                           name="doc_encoder",
+                   use_pallas=cfg.use_pallas_rnn)
         qs, _ = q_enc(q, batch.query_mask, deterministic)   # [B, Lq, H2]
         ds, _ = d_enc(d.reshape(B * N, Ld, E),
                       batch.doc_mask.reshape(B * N, Ld),

@@ -39,7 +39,8 @@ class ACG(nn.Module):
         dt = compute_dtype(cfg)
         self.embeddings = make_embeddings(cfg, self.pretrained)
         self.encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
-                                  cfg.bidirection, cfg.dropout_rnn, dtype=dt)
+                                  cfg.bidirection, cfg.dropout_rnn, dtype=dt,
+                   use_pallas=cfg.use_pallas_rnn)
         h2 = cfg.nhid * (2 if cfg.bidirection else 1)
         self.decoder = AttnLSTMDecoder(features=h2, embed_dim=cfg.emsize,
                                        num_layers=cfg.nlayers,

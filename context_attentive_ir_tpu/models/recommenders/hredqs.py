@@ -46,7 +46,8 @@ class HredQS(nn.Module):
         self.embeddings = make_embeddings(cfg, self.pretrained)
         self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                         cfg.bidirection, cfg.dropout_rnn,
-                                        dtype=dt)
+                                        dtype=dt,
+                   use_pallas=cfg.use_pallas_rnn)
         h2 = cfg.nhid * (2 if cfg.bidirection else 1)
         self.session_rnn = RNNLayer(h2, cfg.session_rnn_type,
                                     bidirectional=False, dtype=dt)

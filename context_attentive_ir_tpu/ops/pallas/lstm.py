@@ -1,0 +1,187 @@
+"""Fused LSTM sequence kernel (Pallas / Mosaic TPU).
+
+The TPU-native replacement for the reference's cuDNN-backed ``nn.LSTM`` hot
+path (SURVEY.md SS2.12: the rebuild's native-code obligation is Pallas
+kernels; BASELINE.json:5 "fused Pallas RNN kernels").
+
+Why a kernel: ``lax.scan`` lowers the recurrence to T sequential loop
+iterations; each step's tiny ``[B, H] @ [H, 4H]`` matmul round-trips h/c
+through HBM and pays loop overhead.  This kernel runs the whole sequence in
+ONE pallas_call:
+
+- grid = (batch_tiles, T): TPU iterates the grid row-major, so for a fixed
+  batch tile the timesteps arrive in order and the hidden/cell state live
+  in VMEM scratch across steps -- zero HBM traffic for the recurrence;
+- the input projection ``x @ W_ih + b`` for ALL timesteps is computed
+  outside (one big MXU matmul, XLA-fused) exactly like the scan path; the
+  kernel consumes it in its natural ``[B, T*4H]`` layout (a free reshape --
+  no transpose, no padding);
+- the recurrent matmul runs on the MXU with f32 accumulation; gates on the
+  VPU; padded timesteps carry state through -- identical masking semantics
+  to ``ops.rnn.lstm_scan`` (verified in tests/test_pallas_lstm.py).
+
+Alignment contract: H must be a multiple of 128 (the TPU lane width).  The
+framework's default ``nhid=128`` is chosen for exactly this (SURVEY.md SS7
+design stance); ``lstm_supported()`` gates dispatch so misaligned configs
+fall back to the scan.  The wrapper is differentiable via ``custom_vjp``
+whose backward replays the scan implementation (training correctness
+without a hand-written backward kernel; the forward kernel serves the
+inference/serving path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..rnn import lstm_scan as _scan_reference
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def lstm_supported(hidden: int, batch: int) -> bool:
+    """Whether the fused kernel handles this shape (else use lax.scan)."""
+    return hidden % 128 == 0 and batch >= 8
+
+
+def _lstm_kernel(xp_ref, mask_ref, whh_ref, out_ref, h_scr, c_scr, *,
+                 h: int, tc: int, reverse: bool):
+    """One (batch_tile, time_chunk) grid step covering ``tc`` timesteps.
+
+    Chunking amortizes the per-grid-step Mosaic overhead (the dominant cost
+    at small [TB, 4H] blocks) across tc sequential cell updates whose
+    state stays in VMEM scratch.
+
+    xp_ref   [TB, tc*4H]  input projection slices for this chunk
+    mask_ref [tc, 1, TB]  per-step validity (time-major, lane-aligned)
+    whh_ref  [H, 4H]      recurrent weights (VMEM-resident)
+    out_ref  [TB, tc*H]   hidden states written for this chunk
+    h_scr/c_scr [TB, H]   carried state (f32 VMEM scratch)
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    hs = h_scr[:]
+    cs = c_scr[:]
+    steps = range(tc - 1, -1, -1) if reverse else range(tc)
+    for k in steps:
+        gates = xp_ref[:, k * 4 * h:(k + 1) * 4 * h].astype(jnp.float32)
+        gates += jnp.dot(hs.astype(whh_ref.dtype), whh_ref[:],
+                         preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :h])
+        f = jax.nn.sigmoid(gates[:, h:2 * h])
+        g = jnp.tanh(gates[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(gates[:, 3 * h:])
+        c_new = f * cs + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = mask_ref[k, 0, :][:, None].astype(jnp.float32)
+        hs = m * h_new + (1.0 - m) * hs
+        cs = m * c_new + (1.0 - m) * cs
+        out_ref[:, k * h:(k + 1) * h] = (hs * m).astype(out_ref.dtype)
+    h_scr[:] = hs
+    c_scr[:] = cs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reverse", "block_b", "time_chunk",
+                                    "interpret"))
+def _lstm_pallas_fwd_impl(x_proj, mask, w_hh, reverse: bool = False,
+                          block_b: int = 256, time_chunk: int = 8,
+                          interpret: bool = False):
+    B, T, G = x_proj.shape
+    H = G // 4
+    assert H % 128 == 0, "kernel requires hidden % 128 == 0 (see docstring)"
+    if B <= block_b:
+        Bp = TB = _round_up(B, 16)
+    else:
+        TB = _round_up(block_b, 128)
+        Bp = _round_up(B, TB)
+    TC = min(time_chunk, T)
+    Tp = _round_up(T, TC)
+
+    xp = x_proj
+    if Bp != B or Tp != T:
+        # padded timesteps carry zero mask -> state passes through
+        xp = jnp.pad(xp, ((0, Bp - B), (0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, ((0, Bp - B), (0, Tp - T)))
+    xp2 = xp.reshape(Bp, Tp * G)                   # free reshape, no copy
+    mask_i = mask.astype(jnp.int32).T[:, None, :]  # [Tp, 1, Bp] (tiny)
+
+    n_chunks = Tp // TC
+    tsel = ((lambda t: n_chunks - 1 - t) if reverse else (lambda t: t))
+
+    out = pl.pallas_call(
+        functools.partial(_lstm_kernel, h=H, tc=TC, reverse=reverse),
+        grid=(Bp // TB, n_chunks),
+        in_specs=[
+            pl.BlockSpec((TB, TC * G), lambda b, t: (b, tsel(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, 1, TB), lambda b, t: (tsel(t), 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, TC * H), lambda b, t: (b, tsel(t)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp * H), x_proj.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Tp * H * 4 * H,
+            bytes_accessed=(Bp * Tp * G + H * G + Bp * Tp * H)
+            * x_proj.dtype.itemsize,
+            transcendentals=Bp * Tp * H * 5,
+        ),
+        interpret=interpret,
+    )(xp2, mask_i, w_hh)
+    return out.reshape(Bp, Tp, H)[:B, :T]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lstm_pallas(x_proj: jnp.ndarray, mask: jnp.ndarray,
+                w_hh: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
+    """Fused-forward masked LSTM over time.
+
+    Same contract as ``ops.rnn.lstm_scan`` restricted to zero initial
+    state, returning only the per-step hidden states [B, T, H].
+    """
+    return _lstm_pallas_fwd_impl(x_proj, mask, w_hh, reverse=reverse)
+
+
+def _fwd(x_proj, mask, w_hh, reverse):
+    return lstm_pallas(x_proj, mask, w_hh, reverse), (x_proj, mask, w_hh)
+
+
+def _bwd(reverse, res, g):
+    x_proj, mask, w_hh = res
+
+    def ref(x_proj, w_hh):
+        return lstm_pallas_reference(x_proj, mask, w_hh, reverse=reverse)
+
+    _, vjp = jax.vjp(ref, x_proj, w_hh)
+    dxp, dwhh = vjp(g)
+    return dxp, None, dwhh
+
+
+lstm_pallas.defvjp(_fwd, _bwd)
+
+
+def lstm_pallas_reference(x_proj, mask, w_hh, reverse=False):
+    """The scan implementation with the same restricted contract (tests)."""
+    B, _, G = x_proj.shape
+    H = G // 4
+    h0 = jnp.zeros((B, H), x_proj.dtype)
+    out, _ = _scan_reference(x_proj, mask, w_hh, h0, h0, reverse=reverse)
+    return out

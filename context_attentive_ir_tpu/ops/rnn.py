@@ -91,17 +91,36 @@ def gru_scan(
 
 
 class RNNLayer(nn.Module):
-    """One (optionally bidirectional) LSTM/GRU layer."""
+    """One (optionally bidirectional) LSTM/GRU layer.
+
+    ``use_pallas=True`` dispatches the *inference* forward pass (callers
+    signal it via ``deterministic=True``) to the fused Pallas sequence
+    kernel (``ops/pallas/lstm.py``) when the shape qualifies (hidden %
+    128 == 0) and the backend is TPU; training and unsupported shapes use
+    the ``lax.scan`` path.
+    """
 
     features: int
     rnn_type: str = "lstm"       # 'lstm' | 'gru'
     bidirectional: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    def _pallas_ok(self, x: jnp.ndarray, h0, deterministic: bool) -> bool:
+        if not (self.use_pallas and deterministic and h0 is None
+                and self.rnn_type == "lstm"):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from .pallas.lstm import lstm_supported
+
+        return lstm_supported(self.features, x.shape[0])
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 h0: Optional[jnp.ndarray] = None):
+                 h0: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
         B, T, D = x.shape
         H = self.features
         n_gates = 4 if self.rnn_type == "lstm" else 3
@@ -118,7 +137,20 @@ class RNNLayer(nn.Module):
             # one big MXU matmul over all timesteps
             x_proj = x @ w_ih.astype(self.dtype) + b_ih.astype(self.dtype)
             h_init = jnp.zeros((B, H), self.dtype) if h0 is None else h0
-            if self.rnn_type == "lstm":
+            if self.rnn_type == "lstm" and self._pallas_ok(
+                    x, h0, deterministic):
+                from .pallas.lstm import lstm_pallas
+
+                o = lstm_pallas(x_proj, mask, w_hh.astype(self.dtype),
+                                d == "bwd")
+                if d == "bwd":
+                    hT = o[:, 0]
+                else:
+                    last = jnp.maximum(
+                        jnp.sum(mask.astype(jnp.int32), -1) - 1, 0)
+                    hT = jnp.take_along_axis(
+                        o, last[:, None, None], axis=1)[:, 0]
+            elif self.rnn_type == "lstm":
                 o, (hT, _cT) = lstm_scan(
                     x_proj, mask, w_hh.astype(self.dtype), h_init,
                     jnp.zeros((B, H), self.dtype), reverse=(d == "bwd"))
@@ -150,6 +182,7 @@ class RNNEncoder(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -162,5 +195,7 @@ class RNNEncoder(nn.Module):
                     out, deterministic=deterministic)
             out, final = RNNLayer(
                 self.features, self.rnn_type, self.bidirectional,
-                self.dtype, self.param_dtype, name=f"layer{layer}")(out, mask)
+                self.dtype, self.param_dtype, self.use_pallas,
+                name=f"layer{layer}")(out, mask,
+                                      deterministic=deterministic)
         return out, final

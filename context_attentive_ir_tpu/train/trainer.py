@@ -55,14 +55,19 @@ def shapes_from_config(config: ModelConfig) -> ShapeConfig:
 
 def make_iterator(sessions: list[Session], config: ModelConfig,
                   word_dict: Dictionary, batch_size: int,
-                  shuffle: bool, seed: int) -> BatchIterator:
-    """Batch family mirrors the reference's three Dataset families."""
+                  shuffle: bool, seed: int, fast=None) -> BatchIterator:
+    """Batch family mirrors the reference's three Dataset families.
+
+    ``fast`` is an optional ``data.fast.FastVocab`` handle routing the
+    hot vectorization loops through the native fastvec library.
+    """
     family = task_family(config.model_type)
     shapes = shapes_from_config(config)
     if family == "ranker":
         ex = rank_examples(sessions)
         collate = lambda e: build_rank_batch(e, word_dict, shapes,
-                                             batch_size=batch_size)
+                                             batch_size=batch_size,
+                                             fast=fast)
     elif family == "recommender":
         ex = suggest_examples(sessions)
         collate = lambda e: build_suggest_batch(e, word_dict, shapes,
@@ -70,7 +75,8 @@ def make_iterator(sessions: list[Session], config: ModelConfig,
     else:
         ex = sessions
         collate = lambda e: build_session_batch(e, word_dict, shapes,
-                                                batch_size=batch_size)
+                                                batch_size=batch_size,
+                                                fast=fast)
     return BatchIterator(ex, collate, batch_size, shuffle=shuffle, seed=seed)
 
 
@@ -108,6 +114,16 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
         self.best_valid = -np.inf
+        self.fast = None
+        if run.native_vectorizer:
+            try:
+                from ..data.fast import FastVocab, available
+
+                if available():
+                    self.fast = FastVocab(word_dict)
+                    logger.info("native fastvec vectorizer enabled")
+            except Exception as e:  # pragma: no cover - env dependent
+                logger.info("native fastvec unavailable: %s", e)
 
     # -- state setup ---------------------------------------------------------
 
@@ -140,10 +156,11 @@ class Trainer:
             dev_sessions: list[Session]) -> dict:
         run, config = self.run, self.config
         train_it = make_iterator(train_sessions, config, self.word_dict,
-                                 run.batch_size, shuffle=True, seed=run.seed)
+                                 run.batch_size, shuffle=True, seed=run.seed,
+                                 fast=self.fast)
         dev_batches = list(make_iterator(
             dev_sessions, config, self.word_dict, run.test_batch_size,
-            shuffle=False, seed=0))
+            shuffle=False, seed=0, fast=self.fast))
         if self.state is None:
             first = next(iter(train_it.epoch(0)))
             self.init_state(first)
@@ -214,7 +231,8 @@ class Trainer:
             self.state = Checkpointer.load(self.ckpt.best_path, self.state)
         batches = list(make_iterator(
             test_sessions, self.config, self.word_dict,
-            self.run.test_batch_size, shuffle=False, seed=0))
+            self.run.test_batch_size, shuffle=False, seed=0,
+            fast=self.fast))
         out = self.validate(batches, dump_prefix=dump_prefix)
         logger.info("\n%s", format_table([out], "test results"))
         self.metrics.write("test", **out)

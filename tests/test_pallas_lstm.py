@@ -1,0 +1,67 @@
+"""Pallas fused-LSTM kernel vs the lax.scan reference (interpreter mode on
+CPU; the real-TPU run happens in bench/serving paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from context_attentive_ir_tpu.ops.pallas.lstm import (
+    _lstm_pallas_fwd_impl,
+    lstm_pallas,
+    lstm_pallas_reference,
+)
+
+B, T, H = 24, 7, 128  # H lane-aligned (kernel contract); B unaligned
+
+
+def _inputs(seed=0, b=B, t=T, h=H):
+    rng = np.random.RandomState(seed)
+    x_proj = rng.normal(size=(b, t, 4 * h)).astype(np.float32) * 0.5
+    w_hh = (rng.normal(size=(h, 4 * h)) * 0.3).astype(np.float32)
+    lens = rng.randint(1, t + 1, size=(b,))
+    lens[0] = t
+    mask = np.arange(t)[None, :] < lens[:, None]
+    return jnp.asarray(x_proj), jnp.asarray(mask), jnp.asarray(w_hh)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_kernel_matches_scan(reverse):
+    xp, mask, whh = _inputs()
+    ref = lstm_pallas_reference(xp, mask, whh, reverse=reverse)
+    out = _lstm_pallas_fwd_impl(xp, mask, whh, reverse=reverse,
+                                block_b=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_kernel_masked_rows_zero():
+    xp, mask, whh = _inputs(seed=1)
+    out = np.asarray(_lstm_pallas_fwd_impl(xp, mask, whh, block_b=16,
+                                           interpret=True))
+    assert (out[~np.asarray(mask)] == 0).all()
+
+
+def test_custom_vjp_grads_match_scan():
+    xp, mask, whh = _inputs(seed=2, b=8, t=4, h=128)
+
+    def loss_pallas(xp, whh):
+        # interpret-mode path is wired through the public wrapper's impl;
+        # grads flow through the scan-based custom_vjp
+        return jnp.sum(lstm_pallas(xp, mask, whh) ** 2)
+
+    def loss_ref(xp, whh):
+        return jnp.sum(lstm_pallas_reference(xp, mask, whh) ** 2)
+
+    try:
+        gx, gw = jax.grad(loss_pallas, argnums=(0, 1))(xp, whh)
+    except Exception as e:  # compiled pallas unsupported on cpu backend
+        if "interpret" in str(e).lower() or "Mosaic" in str(e) or \
+                "not implemented" in str(e).lower():
+            pytest.skip(f"pallas compiled mode unavailable on CPU: {e}")
+        raise
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(xp, whh)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-2,
+                               rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-2,
+                               rtol=1e-2)
