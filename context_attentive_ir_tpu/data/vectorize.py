@@ -32,8 +32,10 @@ from ..constants import (
     NUM_CANDIDATES,
     PAD,
 )
-from .dictionary import Dictionary
+from .dictionary import CharDictionary, Dictionary
 from .objects import Document, Query, Session
+
+_CHAR_DICT = CharDictionary()
 
 
 @dataclass(frozen=True)
@@ -44,6 +46,9 @@ class ShapeConfig:
     max_doc_len: int = MAX_DOC_LEN
     max_session_len: int = MAX_SESSION_LEN
     num_candidates: int = NUM_CANDIDATES
+    # > 0 enables char-level features (byte ids per word) for the word
+    # hashing / char-CNN paths (SURVEY.md SS2.1/SS2.3, --use_charngram)
+    max_word_len: int = 0
     # target length = query length + 1 (room for BOS/EOS shift)
     @property
     def max_target_len(self) -> int:
@@ -70,6 +75,8 @@ class RankBatch:
     labels: np.ndarray       # f32   [B, N]   (binary clicks)
     cand_mask: np.ndarray    # bool  [B, N]   (valid candidates)
     row_mask: np.ndarray     # bool  [B]      (valid rows, for padding batches)
+    query_chars: np.ndarray | None = None  # int32 [B, Lq, Lw]
+    doc_chars: np.ndarray | None = None    # int32 [B, N, Ld, Lw]
 
     @property
     def batch_size(self) -> int:
@@ -147,6 +154,14 @@ def _encode_doc(d: Document, word_dict: Dictionary, length: int):
     return _pad_ids(word_dict.encode(d.tokens), length)
 
 
+def _encode_chars(tokens: list[str], length: int,
+                  word_len: int) -> np.ndarray:
+    out = np.zeros((length, word_len), np.int32)
+    for i, tok in enumerate(tokens[:length]):
+        out[i] = _CHAR_DICT.encode_word(tok, word_len)
+    return out
+
+
 def _encode_target(q: Query, word_dict: Dictionary, length: int):
     """Teacher-forcing pair: (BOS + toks)[:L], (toks + EOS)[:L]."""
     ids = word_dict.encode(q.tokens)[: length - 1]
@@ -175,7 +190,7 @@ def build_rank_batch(
 ) -> RankBatch:
     B = batch_size or len(examples)
     Lq, N, Ld = shapes.max_query_len, shapes.num_candidates, shapes.max_doc_len
-    if fast is not None:
+    if fast is not None and shapes.max_word_len == 0:
         return _build_rank_batch_fast(examples, shapes, B, fast)
     query = np.full((B, Lq), PAD, np.int32)
     query_mask = np.zeros((B, Lq), bool)
@@ -184,15 +199,22 @@ def build_rank_batch(
     labels = np.zeros((B, N), np.float32)
     cand_mask = np.zeros((B, N), bool)
     row_mask = np.zeros((B,), bool)
+    Lw = shapes.max_word_len
+    q_chars = np.zeros((B, Lq, Lw), np.int32) if Lw else None
+    d_chars = np.zeros((B, N, Ld, Lw), np.int32) if Lw else None
     for i, q in enumerate(examples[:B]):
         query[i], query_mask[i] = _encode_query(q, word_dict, Lq)
+        if Lw:
+            q_chars[i] = _encode_chars(q.tokens, Lq, Lw)
         for j, d in enumerate(q.documents[:N]):
             docs[i, j], doc_mask[i, j] = _encode_doc(d, word_dict, Ld)
             labels[i, j] = float(d.label)
             cand_mask[i, j] = True
+            if Lw:
+                d_chars[i, j] = _encode_chars(d.tokens, Ld, Lw)
         row_mask[i] = True
     return RankBatch(query, query_mask, docs, doc_mask, labels, cand_mask,
-                     row_mask)
+                     row_mask, q_chars, d_chars)
 
 
 def _build_rank_batch_fast(examples, shapes: ShapeConfig, B: int,

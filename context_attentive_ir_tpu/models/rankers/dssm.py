@@ -40,6 +40,17 @@ class DSSM(nn.Module):
                     name="tower")
         q = masked_mean(emb(batch.query, deterministic), batch.query_mask)
         d = masked_mean(emb(batch.docs, deterministic), batch.doc_mask)
+        if cfg.use_charngram and batch.query_chars is not None:
+            # word-hashing analogue: char-CNN word vectors pooled like the
+            # word embeddings and concatenated into the tower input
+            from ...constants import CHAR_VOCAB_SIZE
+            from ...ops.layers import CharCNN
+
+            cnn = CharCNN(CHAR_VOCAB_SIZE, dtype=dt, name="char_cnn")
+            qc = masked_mean(cnn(batch.query_chars), batch.query_mask)
+            dc = masked_mean(cnn(batch.doc_chars), batch.doc_mask)
+            q = jnp.concatenate([q, qc], axis=-1)
+            d = jnp.concatenate([d, dc], axis=-1)
         qv = tower(q, deterministic)                         # [B, 128]
         dv = tower(d, deterministic)                         # [B, N, 128]
         gamma = self.param("gamma", nn.initializers.constant(10.0), ())

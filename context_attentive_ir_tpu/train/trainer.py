@@ -45,11 +45,14 @@ logger = logging.getLogger(__name__)
 
 
 def shapes_from_config(config: ModelConfig) -> ShapeConfig:
+    from ..constants import MAX_WORD_LEN
+
     return ShapeConfig(
         max_query_len=config.max_query_len,
         max_doc_len=config.max_doc_len,
         max_session_len=config.max_session_len,
         num_candidates=config.num_candidates,
+        max_word_len=MAX_WORD_LEN if config.use_charngram else 0,
     )
 
 

@@ -152,3 +152,25 @@ def test_cars_no_click_leakage(data):
     batch2 = batch.replace(clicks=clicks)
     s2 = np.asarray(model.apply(params, batch2, method=model.score))
     np.testing.assert_allclose(s1[0, t_last], s2[0, t_last], atol=1e-6)
+
+
+def test_dssm_charngram(data):
+    """DSSM with the char-CNN word-hashing analogue (--use_charngram)."""
+    from context_attentive_ir_tpu.data import build_rank_batch, rank_examples
+    from context_attentive_ir_tpu.data.vectorize import ShapeConfig as SC
+
+    sessions, word_dict = data
+    shapes = SC(max_query_len=SHAPES.max_query_len,
+                max_doc_len=SHAPES.max_doc_len,
+                max_session_len=SHAPES.max_session_len,
+                num_candidates=SHAPES.num_candidates, max_word_len=8)
+    cfg = small_config("dssm", len(word_dict)).replace(use_charngram=True)
+    model = build_model(cfg)
+    batch = build_rank_batch(rank_examples(sessions)[:B], word_dict, shapes,
+                             batch_size=B)
+    assert batch.query_chars is not None
+    assert batch.query_chars.shape == (B, SHAPES.max_query_len, 8)
+    params = model.init({"params": jax.random.key(0)}, batch, True)
+    scores = model.apply(params, batch, True)
+    assert scores.shape == (B, SHAPES.num_candidates)
+    assert "char_cnn" in params["params"]
