@@ -40,7 +40,7 @@ ARCHITECTURE_FIELDS = (
 # Optimizer/runtime fields (the reference's MODEL_OPTIMIZER whitelist).
 OPTIMIZER_FIELDS = (
     "optimizer", "learning_rate", "weight_decay", "momentum",
-    "grad_clipping", "lr_decay", "warmup_steps",
+    "grad_clipping", "lr_decay", "lr_decay_steps", "warmup_steps",
 )
 
 
@@ -86,6 +86,7 @@ class ModelConfig:
     momentum: float = 0.9
     grad_clipping: float = 5.0
     lr_decay: float = 0.95
+    lr_decay_steps: int = 0       # 0 disables exponential lr decay
     warmup_steps: int = 0
     # precision / kernels
     compute_dtype: str = "float32"   # 'bfloat16' on TPU for the fast path

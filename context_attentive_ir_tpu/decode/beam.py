@@ -47,8 +47,11 @@ def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
 
 def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
                 beam_size: int = 5, alpha: float = 0.6,
-                vocab_size: int | None = None):
-    """Returns (best tokens [B, max_len], best score [B]).
+                vocab_size: int | None = None, return_nbest: bool = False):
+    """Returns (best tokens [B, max_len], best score [B]); with
+    ``return_nbest`` instead returns the full beams ([B, K, max_len],
+    [B, K]) sorted by normalized score -- the reference beam's n-best
+    output (SURVEY.md SS2.7).
 
     ``step_fn`` operates on a flattened ``[B*K]`` beam batch;
     ``init_state`` holds ``[B, ...]`` leaves and is tiled here.
@@ -93,9 +96,13 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
 
     # rank by length-normalized score; prefer finished hypotheses
     norm = logps / length_penalty(jnp.maximum(lengths, 1), alpha)
-    norm = jnp.where(finished, norm, norm + NEG_INF * 0.0)  # keep unfinished
-    # if nothing finished, unfinished beams still rank by their norm score
-    best = jnp.argmax(norm + finished.astype(norm.dtype) * 1e4, axis=-1)
+    ranked = norm + finished.astype(norm.dtype) * 1e4
+    if return_nbest:
+        order = jnp.argsort(-ranked, axis=-1)                 # [B, K]
+        nb_seqs = jnp.take_along_axis(seqs, order[..., None], axis=1)
+        nb_scores = jnp.take_along_axis(norm, order, axis=1)
+        return nb_seqs, nb_scores
+    best = jnp.argmax(ranked, axis=-1)
     best_seq = jnp.take_along_axis(
         seqs, best[:, None, None], axis=1)[:, 0]              # [B, T]
     best_score = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]

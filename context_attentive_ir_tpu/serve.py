@@ -1,0 +1,178 @@
+"""Inference engine: checkpoint -> rank / suggest serving API.
+
+The reference has no serving layer (SURVEY.md SS1 'no serving layer'); this
+module is the production-facing addition the rebuild is intended for: load
+a trained checkpoint once, then score candidate slates and generate query
+suggestions from raw text with jit-compiled, shape-static calls.
+
+Requests are padded to the checkpoint's static shapes, so every call after
+the first reuses one compiled program per (batch bucket) -- no retracing in
+steady state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from .config import ModelConfig
+from .data import Dictionary, ShapeConfig, build_session_batch
+from .data.objects import Document, Query, Session
+from .decode import beam_search, greedy_decode
+from .models import build_model, task_family
+from .train.checkpoint import Checkpointer
+from .train.state import create_train_state
+from .train.trainer import shapes_from_config
+
+
+class Engine:
+    """One loaded model + compiled scoring/suggestion programs."""
+
+    def __init__(self, config: ModelConfig, word_dict: Dictionary, params,
+                 beam_size: int = 5, batch_bucket: int = 8):
+        self.config = config
+        self.word_dict = word_dict
+        self.params = params
+        self.model = build_model(config)
+        self.family = task_family(config.model_type)
+        self.shapes = shapes_from_config(config)
+        self.beam_size = beam_size
+        self.batch_bucket = batch_bucket
+        self._score_jit = jax.jit(self._score_impl)
+        self._suggest_jit = jax.jit(partial(
+            self._suggest_impl, beam_size=beam_size),
+            static_argnames=("beam_size",))
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, path: str | Path, beam_size: int = 5,
+                        **kw) -> "Engine":
+        config, word_dict, _ = Checkpointer.peek(path)
+        model = build_model(config)
+        shapes = shapes_from_config(config)
+        dummy_session = Session("s", [Query("q", ["x"],
+                                            [Document("d", ["x"], 0)])])
+        batch = build_session_batch([dummy_session], word_dict, shapes,
+                                    batch_size=1)
+        state = create_train_state(model, config, batch, jax.random.key(0))
+        state = Checkpointer.load(path, state)
+        return cls(config, word_dict, state.params, beam_size, **kw)
+
+    # -- request -> batch -----------------------------------------------------
+
+    def _to_sessions(self, history: Sequence[str], query: str,
+                     docs: Sequence[str]) -> Session:
+        qs = [Query(f"h{i}", h.split()[: self.shapes.max_query_len], [])
+              for i, h in enumerate(history)]
+        cands = [Document(f"d{i}", d.split()[: self.shapes.max_doc_len], 0)
+                 for i, d in enumerate(docs[: self.shapes.num_candidates])]
+        qs.append(Query("current",
+                        query.split()[: self.shapes.max_query_len], cands))
+        max_s = self.shapes.max_session_len
+        return Session("req", qs[-max_s:])
+
+    def _bucket(self, n: int) -> int:
+        b = self.batch_bucket
+        return ((n + b - 1) // b) * b
+
+    # -- ranking --------------------------------------------------------------
+
+    def _score_impl(self, params, batch):
+        if self.family == "multitask":
+            return self.model.apply({"params": params}, batch,
+                                    method=self.model.score)
+        if self.family == "ranker":
+            from .data.vectorize import RankBatch
+
+            rb = RankBatch(
+                query=batch.query[:, -1], query_mask=batch.query_mask[:, -1],
+                docs=batch.docs[:, -1], doc_mask=batch.doc_mask[:, -1],
+                labels=batch.clicks[:, -1], cand_mask=batch.cand_mask[:, -1],
+                row_mask=batch.row_mask)
+            return self.model.apply({"params": params}, rb, True)
+        raise ValueError(f"{self.config.model_type} cannot rank")
+
+    def rank(self, query: str, docs: Sequence[str],
+             history: Sequence[str] = ()) -> list[float]:
+        """Scores for ``docs`` given ``query`` (+ session history)."""
+        return self.rank_batch([(query, docs, history)])[0]
+
+    def rank_batch(self, requests: Sequence[tuple]) -> list[list[float]]:
+        """requests: [(query, docs, history)] -> per-request doc scores."""
+        sessions = [self._to_sessions(h, q, d) for q, d, h in
+                    ((r[0], r[1], r[2] if len(r) > 2 else ())
+                     for r in requests)]
+        B = self._bucket(len(sessions))
+        batch = build_session_batch(sessions, self.word_dict, self.shapes,
+                                    batch_size=B)
+        scores = np.asarray(jax.device_get(
+            self._score_jit(self.params, batch)), np.float32)
+        out = []
+        for i, (req, sess) in enumerate(zip(requests, sessions)):
+            t_last = len(sess.queries) - 1
+            row = scores[i, t_last] if scores.ndim == 3 else scores[i]
+            out.append(row[: len(req[1])].tolist())
+        return out
+
+    # -- suggestion -----------------------------------------------------------
+
+    def _suggest_impl(self, params, batch, beam_size: int):
+        var = {"params": params}
+        state, memory, memory_mask = self.model.apply(
+            var, batch, method=self.model.decode_init)
+        rows = memory.shape[0]
+        max_len = self.shapes.max_target_len
+        if beam_size > 1:
+            import jax.numpy as jnp
+
+            rep = lambda x: jnp.repeat(x, beam_size, axis=0)
+            mem_k, mask_k = rep(memory), rep(memory_mask)
+            step = lambda st, toks: self.model.apply(
+                var, st, toks, mem_k, mask_k, method=self.model.decode_step)
+            return beam_search(step, state, rows, max_len, beam_size,
+                               return_nbest=True)
+        step = lambda st, toks: self.model.apply(
+            var, st, toks, memory, memory_mask,
+            method=self.model.decode_step)
+        seqs, scores = greedy_decode(step, state, rows, max_len)
+        return seqs[:, None], scores[:, None]
+
+    def suggest(self, history: Sequence[str],
+                n_best: Optional[int] = None) -> list[tuple[str, float]]:
+        """Next-query suggestions for a session (most recent query last)."""
+        assert self.family in ("recommender", "multitask"), (
+            f"{self.config.model_type} cannot suggest")
+        assert history, "history must contain at least the current query"
+        n_best = n_best or self.beam_size
+        if self.family == "multitask":
+            sess = self._to_sessions(history[:-1], history[-1], ["x"])
+            B = self._bucket(1)
+            batch = build_session_batch([sess], self.word_dict, self.shapes,
+                                        batch_size=B)
+            seqs, scores = jax.device_get(
+                self._suggest_jit(self.params, batch))
+            S = self.shapes.max_session_len
+            row = (len(sess.queries) - 1)  # flattened index b=0
+            seqs, scores = seqs[row], scores[row]
+        else:
+            from .data import build_suggest_batch
+
+            qs = [Query(f"h{i}", h.split()[: self.shapes.max_query_len], [])
+                  for i, h in enumerate(history)]
+            ex = [(qs[-self.shapes.max_session_len:], qs[-1], qs[-1])]
+            B = self._bucket(1)
+            batch = build_suggest_batch(ex, self.word_dict, self.shapes,
+                                        batch_size=B)
+            seqs, scores = jax.device_get(
+                self._suggest_jit(self.params, batch))
+            seqs, scores = seqs[0], scores[0]
+        out = []
+        for k in range(min(n_best, seqs.shape[0])):
+            toks = self.word_dict.decode(seqs[k])
+            out.append((" ".join(toks), float(scores[k])))
+        return out

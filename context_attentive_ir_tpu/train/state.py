@@ -26,11 +26,23 @@ class TrainState(train_state.TrainState):
 
 
 def make_optimizer(config: ModelConfig) -> optax.GradientTransformation:
+    lr: Any = config.learning_rate
+    if config.lr_decay_steps > 0 and config.lr_decay < 1.0:
+        # exponential decay every lr_decay_steps optimizer steps (the
+        # reference's --lr_decay, SURVEY.md SS2.9 'Optimizers')
+        lr = optax.exponential_decay(
+            config.learning_rate, transition_steps=config.lr_decay_steps,
+            decay_rate=config.lr_decay, staircase=True)
     if config.warmup_steps > 0:
-        lr: Any = optax.linear_schedule(0.0, config.learning_rate,
-                                        config.warmup_steps)
-    else:
-        lr = config.learning_rate
+        warm = optax.linear_schedule(0.0, config.learning_rate,
+                                     config.warmup_steps)
+        base = lr
+        if callable(base):
+            lr = optax.join_schedules([warm, base], [config.warmup_steps])
+        else:
+            lr = optax.join_schedules(
+                [warm, optax.constant_schedule(base)],
+                [config.warmup_steps])
 
     if config.optimizer == "sgd":
         opt = optax.sgd(lr, momentum=config.momentum)

@@ -1,0 +1,66 @@
+"""Serving engine: checkpoint -> rank/suggest round trip."""
+
+import jax
+import numpy as np
+import pytest
+
+from context_attentive_ir_tpu.config import RunConfig, default_config
+from context_attentive_ir_tpu.data import build_dictionary, generate_sessions
+from context_attentive_ir_tpu.data.objects import Session
+from context_attentive_ir_tpu.serve import Engine
+from context_attentive_ir_tpu.train import Trainer
+
+DIMS = dict(emsize=16, nhid=8, nhid_ffnn=16, nfilters=8,
+            max_query_len=6, max_doc_len=8, max_session_len=3,
+            num_candidates=5, dropout=0.0, dropout_emb=0.0, dropout_rnn=0.0)
+
+
+@pytest.fixture(scope="module")
+def trained_cars(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    sessions = [Session.from_dict(d)
+                for d in generate_sessions(n_sessions=8, n_candidates=5,
+                                           seed=5)]
+    for s in sessions:
+        s.queries = s.queries[:3]
+        for q in s.queries:
+            q.tokens = q.tokens[:6]
+            q.documents = q.documents[:5]
+            for d in q.documents:
+                d.tokens = d.tokens[:8]
+    streams = [q.tokens for s in sessions for q in s.queries]
+    streams += [d.tokens for s in sessions for q in s.queries
+                for d in q.documents]
+    word_dict = build_dictionary(streams)
+    cfg = default_config("cars").replace(vocab_size=len(word_dict), **DIMS)
+    run = RunConfig(model_dir=str(tmp), model_name="cars", batch_size=8,
+                    test_batch_size=8, num_epochs=1, display_iter=100,
+                    async_checkpoint=False)
+    tr = Trainer(cfg, run, word_dict, use_mesh=False)
+    tr.fit(sessions, sessions)
+    return tr.ckpt.best_path, sessions, word_dict
+
+
+def test_engine_rank_and_suggest(trained_cars):
+    path, sessions, _ = trained_cars
+    eng = Engine.from_checkpoint(path, beam_size=2)
+    q = sessions[0].queries[-1]
+    docs = [" ".join(d.tokens) for d in q.documents]
+    history = [" ".join(x.tokens) for x in sessions[0].queries[:-1]]
+
+    scores = eng.rank(" ".join(q.tokens), docs, history)
+    assert len(scores) == len(docs)
+    assert all(np.isfinite(s) for s in scores)
+
+    # batch API, mixed slate sizes
+    out = eng.rank_batch([
+        (" ".join(q.tokens), docs, history),
+        (" ".join(q.tokens), docs[:3], ()),
+    ])
+    assert len(out[0]) == len(docs) and len(out[1]) == 3
+    np.testing.assert_allclose(out[0], scores, atol=1e-5)
+
+    sugg = eng.suggest(history + [" ".join(q.tokens)])
+    assert len(sugg) == 2
+    text, score = sugg[0]
+    assert isinstance(text, str) and np.isfinite(score)
