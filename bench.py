@@ -28,8 +28,8 @@ sys.path.insert(0, str(ROOT))
 
 # bench dims (AOL-scale)
 VOCAB = 50_000
-B, S, N, LQ, LD = 16, 5, 50, 15, 30
-EMSIZE, NHID = 300, 150
+B, S, N, LQ, LD = 64, 5, 50, 15, 30
+EMSIZE, NHID = 300, 128
 WARMUP, ITERS = 3, 20
 
 
@@ -156,18 +156,21 @@ def bench_torch_cpu() -> float:
 
     model = TorchCars().eval()
     rng = np.random.RandomState(0)
-    q = torch.from_numpy(rng.randint(4, VOCAB, size=(B, S, LQ))).long()
-    d = torch.from_numpy(rng.randint(4, VOCAB, size=(B, S, N, LD))).long()
-    clicks = torch.zeros(B, S, N)
+    # smaller batch than the TPU run: CPU throughput is batch-insensitive
+    # at these sizes and the full B would take many minutes on one core
+    TB = 8
+    q = torch.from_numpy(rng.randint(4, VOCAB, size=(TB, S, LQ))).long()
+    d = torch.from_numpy(rng.randint(4, VOCAB, size=(TB, S, N, LD))).long()
+    clicks = torch.zeros(TB, S, N)
     clicks[:, :, 0] = 1
-    iters = 3
+    iters = 2
     with torch.no_grad():
         model(q, d, clicks)  # warmup
         t0 = time.perf_counter()
         for _ in range(iters):
             model(q, d, clicks)
         dt = time.perf_counter() - t0
-    return (B * S * N * iters) / dt
+    return (TB * S * N * iters) / dt
 
 
 def main():
