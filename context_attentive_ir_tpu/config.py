@@ -150,6 +150,7 @@ class RunConfig:
     max_examples: int = -1
     async_checkpoint: bool = True
     native_vectorizer: bool = True  # use native fastvec when buildable
+    tensorboard: bool = False       # also emit tensorboard scalars
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

@@ -112,7 +112,8 @@ class Trainer:
         self.ckpt = Checkpointer(run.model_dir, run.model_name,
                                  run.async_checkpoint)
         self.metrics = MetricsWriter(
-            Path(run.model_dir) / f"{run.model_name}.metrics.jsonl")
+            Path(run.model_dir) / f"{run.model_name}.metrics.jsonl",
+            tensorboard=run.tensorboard)
         self.rng = jax.random.key(run.seed)
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
@@ -183,7 +184,7 @@ class Trainer:
                         epoch, i + 1, len(train_it), loss_meter.val,
                         loss_meter.avg, timer.time())
             valid = self.validate(dev_batches)
-            self.metrics.write("epoch", epoch=epoch,
+            self.metrics.write("epoch", step=epoch, epoch=epoch,
                                train_loss=loss_meter.avg,
                                time=timer.time(), **valid)
             metric_val = valid.get(run.valid_metric, 0.0)

@@ -34,16 +34,37 @@ def setup_logging(log_file: str | Path | None = None,
 
 
 class MetricsWriter:
-    """Append-only JSONL metric stream."""
+    """Append-only JSONL metric stream + optional tensorboard scalars.
 
-    def __init__(self, path: str | Path):
+    Tensorboard output (SURVEY.md SS5.5 rebuild column) uses
+    ``torch.utils.tensorboard`` when available (torch-cpu ships in this
+    image); absent that, the JSONL stream is the source of truth.
+    """
+
+    def __init__(self, path: str | Path, tensorboard: bool = False):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-    def write(self, event: str, **fields):
+                self._tb = SummaryWriter(
+                    log_dir=str(self.path.parent / "tb"))
+            except Exception:  # pragma: no cover - optional dep
+                self._tb = None
+
+    def write(self, event: str, step: int | None = None, **fields):
         rec = {"event": event, "time": time.time(), **fields}
+        if step is not None:
+            rec["step"] = step
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in fields.items():
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"{event}/{k}", v, step or 0)
+            self._tb.flush()
         return rec
 
 

@@ -169,3 +169,37 @@ def test_trainer_early_stopping(data, tmp_path):
     assert len(out["history"]) == 3
     assert tr.ckpt.best_path.exists()
     assert tr.ckpt.latest_path.exists()
+
+
+def test_expand_dictionary(data):
+    """Reference expand_dictionary(): grow vocab + embedding rows; old
+    behavior preserved, new tokens usable (SURVEY.md SS1 L5)."""
+    from context_attentive_ir_tpu.train.vocab_expand import expand_dictionary
+
+    sessions, word_dict = data
+    import copy
+
+    word_dict = copy.deepcopy(word_dict)
+    cfg = default_config("seq2seq").replace(vocab_size=len(word_dict),
+                                            **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=4,
+                       shuffle=False, seed=0)
+    batch = next(iter(it.epoch(0)))
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    old_logits = model.apply({"params": state.params}, batch, True)
+    old_vocab = len(word_dict)
+
+    new_params, new_cfg, word_dict, n_new = expand_dictionary(
+        state.params, cfg, word_dict,
+        [["zebra", "quokka"], ["zebra", "axolotl"]])
+    assert n_new == 3
+    assert new_cfg.vocab_size == old_vocab + 3
+    assert word_dict["zebra"] >= old_vocab
+
+    new_model = build_model(new_cfg)
+    new_logits = new_model.apply({"params": new_params}, batch, True)
+    assert new_logits.shape[-1] == old_vocab + 3
+    # old-vocab distribution unchanged up to the added logits
+    np.testing.assert_allclose(np.asarray(new_logits[..., :old_vocab]),
+                               np.asarray(old_logits), atol=1e-5)
