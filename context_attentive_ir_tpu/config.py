@@ -151,6 +151,7 @@ class RunConfig:
     async_checkpoint: bool = True
     native_vectorizer: bool = True  # use native fastvec when buildable
     tensorboard: bool = False       # also emit tensorboard scalars
+    checkpoint_backend: str = "msgpack"  # 'msgpack' | 'orbax' 
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

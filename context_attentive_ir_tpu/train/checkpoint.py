@@ -32,20 +32,31 @@ from ..config import ModelConfig, override_model_args
 from ..data.dictionary import Dictionary
 
 STATE_FILE = "state.msgpack"
+ORBAX_DIR = "state.orbax"
 CONFIG_FILE = "config.json"
 VOCAB_FILE = "vocab.json"
 EXTRA_FILE = "extra.json"
 
 
 class Checkpointer:
-    """Directory-per-checkpoint saver with best/latest slots."""
+    """Directory-per-checkpoint saver with best/latest slots.
+
+    ``backend='msgpack'`` (default) serializes the state PyTree with flax
+    msgpack in one file; ``backend='orbax'`` stores it via
+    ``orbax.checkpoint.StandardCheckpointer`` (sharding-aware, per-array
+    files -- the right choice once states outgrow host RAM).  Both share
+    the JSON sidecars and the best/latest layout; ``load`` auto-detects
+    which backend wrote a checkpoint.
+    """
 
     def __init__(self, model_dir: str | Path, model_name: str,
-                 async_save: bool = True):
+                 async_save: bool = True, backend: str = "msgpack"):
         self.dir = Path(model_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.model_name = model_name
         self.async_save = async_save
+        assert backend in ("msgpack", "orbax")
+        self.backend = backend
         self._thread: Optional[threading.Thread] = None
 
     @property
@@ -68,7 +79,8 @@ class Checkpointer:
               word_dict: Dictionary, extra: dict):
         # snapshot to host synchronously (cheap); write to disk async
         state = jax.device_get(state)
-        blob = serialization.to_bytes(state)
+        blob = (serialization.to_bytes(state)
+                if self.backend == "msgpack" else None)
         cfg_json = config.to_json()
         vocab_json = word_dict.to_json()
         extra_json = json.dumps(extra)
@@ -79,7 +91,15 @@ class Checkpointer:
             if tmp.exists():
                 shutil.rmtree(tmp)
             tmp.mkdir(parents=True)
-            (tmp / STATE_FILE).write_bytes(blob)
+            if blob is not None:
+                (tmp / STATE_FILE).write_bytes(blob)
+            else:
+                import orbax.checkpoint as ocp
+
+                ckptr = ocp.StandardCheckpointer()
+                ckptr.save((tmp / ORBAX_DIR).resolve(), state)
+                ckptr.wait_until_finished()
+                ckptr.close()
             (tmp / CONFIG_FILE).write_text(cfg_json)
             (tmp / VOCAB_FILE).write_text(vocab_json)
             (tmp / EXTRA_FILE).write_text(extra_json)
@@ -111,9 +131,20 @@ class Checkpointer:
 
     @staticmethod
     def load(path: str | Path, state_template) -> Any:
-        """Restore a train state into ``state_template``'s structure."""
-        blob = (Path(path) / STATE_FILE).read_bytes()
-        return serialization.from_bytes(state_template, blob)
+        """Restore a train state into ``state_template``'s structure
+        (backend auto-detected from the checkpoint contents)."""
+        path = Path(path)
+        if (path / STATE_FILE).exists():
+            blob = (path / STATE_FILE).read_bytes()
+            return serialization.from_bytes(state_template, blob)
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            return ckptr.restore((path / ORBAX_DIR).resolve(),
+                                 state_template)
+        finally:
+            ckptr.close()
 
     @staticmethod
     def load_for_test(path: str | Path,

@@ -110,7 +110,8 @@ class Trainer:
                 self.model, config, run.beam_size,
                 run.max_decode_len or None)
         self.ckpt = Checkpointer(run.model_dir, run.model_name,
-                                 run.async_checkpoint)
+                                 run.async_checkpoint,
+                                 backend=run.checkpoint_backend)
         self.metrics = MetricsWriter(
             Path(run.model_dir) / f"{run.model_name}.metrics.jsonl",
             tensorboard=run.tensorboard)

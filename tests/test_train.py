@@ -203,3 +203,22 @@ def test_expand_dictionary(data):
     # old-vocab distribution unchanged up to the added logits
     np.testing.assert_allclose(np.asarray(new_logits[..., :old_vocab]),
                                np.asarray(old_logits), atol=1e-5)
+
+
+def test_checkpoint_orbax_backend(data, tmp_path):
+    """Orbax backend round-trip (SURVEY.md SS5.4); load auto-detects."""
+    sessions, word_dict = data
+    cfg = default_config("dssm").replace(vocab_size=len(word_dict), **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=4,
+                       shuffle=False, seed=0)
+    batch = next(iter(it.epoch(0)))
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    ck = Checkpointer(tmp_path, "m", async_save=False, backend="orbax")
+    ck.save_best(state, cfg, word_dict, {"epoch": 1})
+    assert (ck.best_path / "state.orbax").exists()
+    state2 = create_train_state(model, cfg, batch, jax.random.key(9))
+    restored = Checkpointer.load(ck.best_path, state2)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
