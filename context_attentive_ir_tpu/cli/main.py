@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
         if isinstance(f.default, bool):
             runtime.add_argument(name, action=argparse.BooleanOptionalAction,
                                  default=f.default)
+        elif isinstance(f.default, tuple):
+            runtime.add_argument(name, type=lambda s: tuple(
+                int(x) for x in s.split(",") if x), default=f.default)
         else:
             runtime.add_argument(name, type=type(f.default),
                                  default=f.default)

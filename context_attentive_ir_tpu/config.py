@@ -151,7 +151,11 @@ class RunConfig:
     async_checkpoint: bool = True
     native_vectorizer: bool = True  # use native fastvec when buildable
     tensorboard: bool = False       # also emit tensorboard scalars
-    checkpoint_backend: str = "msgpack"  # 'msgpack' | 'orbax' 
+    checkpoint_backend: str = "msgpack"  # 'msgpack' | 'orbax'
+    # session-length buckets for multitask training, e.g. (2, 4, 10):
+    # each bucket compiles its own static shape so short sessions don't
+    # pay max_session_len padding FLOPs; () disables bucketing
+    session_buckets: tuple[int, ...] = ()
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

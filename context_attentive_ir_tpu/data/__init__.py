@@ -4,7 +4,7 @@ TPU-native replacement for the reference's ``neuroir/inputters`` +
 ``neuroir/objects`` layers (SURVEY.md SS2.1-SS2.2).
 """
 
-from .dataset import BatchIterator
+from .dataset import BatchIterator, BucketedIterator
 from .dictionary import CharDictionary, Dictionary, build_dictionary
 from .loader import load_data, load_embedding_words, load_embeddings
 from .objects import Document, Query, Session
@@ -23,6 +23,7 @@ from .vectorize import (
 
 __all__ = [
     "BatchIterator",
+    "BucketedIterator",
     "CharDictionary",
     "Dictionary",
     "build_dictionary",

@@ -24,6 +24,7 @@ import numpy as np
 from ..config import ModelConfig, RunConfig
 from ..data import (
     BatchIterator,
+    BucketedIterator,
     Dictionary,
     Session,
     ShapeConfig,
@@ -58,7 +59,8 @@ def shapes_from_config(config: ModelConfig) -> ShapeConfig:
 
 def make_iterator(sessions: list[Session], config: ModelConfig,
                   word_dict: Dictionary, batch_size: int,
-                  shuffle: bool, seed: int, fast=None) -> BatchIterator:
+                  shuffle: bool, seed: int, fast=None,
+                  session_buckets: tuple[int, ...] = ()):
     """Batch family mirrors the reference's three Dataset families.
 
     ``fast`` is an optional ``data.fast.FastVocab`` handle routing the
@@ -77,6 +79,20 @@ def make_iterator(sessions: list[Session], config: ModelConfig,
                                                 batch_size=batch_size)
     else:
         ex = sessions
+        if session_buckets:
+            import dataclasses as _dc
+
+            buckets = tuple(min(b, shapes.max_session_len)
+                            for b in session_buckets)
+
+            def collate_b(e, bucket):
+                sh = _dc.replace(shapes, max_session_len=bucket)
+                return build_session_batch(e, word_dict, sh,
+                                           batch_size=batch_size, fast=fast)
+
+            return BucketedIterator(ex, lambda s: len(s.queries),
+                                    collate_b, batch_size, buckets,
+                                    shuffle=shuffle, seed=seed)
         collate = lambda e: build_session_batch(e, word_dict, shapes,
                                                 batch_size=batch_size,
                                                 fast=fast)
@@ -162,7 +178,8 @@ class Trainer:
         run, config = self.run, self.config
         train_it = make_iterator(train_sessions, config, self.word_dict,
                                  run.batch_size, shuffle=True, seed=run.seed,
-                                 fast=self.fast)
+                                 fast=self.fast,
+                                 session_buckets=run.session_buckets)
         dev_batches = list(make_iterator(
             dev_sessions, config, self.word_dict, run.test_batch_size,
             shuffle=False, seed=0, fast=self.fast))

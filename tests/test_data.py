@@ -161,3 +161,35 @@ def test_session_from_dict_tokens_field():
     })
     assert s.queries[0].tokens == ["a", "b"]
     assert s.queries[0].documents[0].label == 1
+
+
+def test_bucketed_iterator(sessions, word_dict):
+    from context_attentive_ir_tpu.data import BucketedIterator
+    from context_attentive_ir_tpu.data import build_session_batch
+    import dataclasses
+
+    def collate(e, bucket):
+        sh = dataclasses.replace(SHAPES, max_session_len=bucket)
+        return build_session_batch(e, word_dict, sh, batch_size=4)
+
+    it = BucketedIterator(sessions, lambda s: len(s.queries), collate,
+                          batch_size=4, buckets=(2, 4), seed=3)
+    batches = list(it.epoch(0))
+    assert len(batches) == len(it)
+    seen = 0
+    for b in batches:
+        S = b.turn_mask.shape[1]
+        assert S in (2, 4)
+        n_rows = int(b.row_mask.sum())
+        seen += n_rows
+        # every session fits its bucket (no truncation beyond bucket)
+        lengths = b.turn_mask.sum(axis=1)[b.row_mask]
+        assert (lengths <= S).all()
+        if S == 2:
+            assert (lengths <= 2).all()
+    assert seen == len(sessions)
+    # deterministic resume
+    again = list(it.epoch(0))
+    np.testing.assert_array_equal(batches[1].query, again[1].query)
+    rest = list(it.epoch(0, start_batch=2))
+    np.testing.assert_array_equal(rest[0].query, batches[2].query)
