@@ -185,3 +185,157 @@ def lstm_pallas_reference(x_proj, mask, w_hh, reverse=False):
     h0 = jnp.zeros((B, H), x_proj.dtype)
     out, _ = _scan_reference(x_proj, mask, w_hh, h0, h0, reverse=reverse)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused variant: input projection INSIDE the kernel
+# ---------------------------------------------------------------------------
+#
+# The scan path (and the kernel above) materialize the gate projections
+# ``x @ W_ih`` for the whole sequence in HBM: at CARS bench shapes that is
+# ~1 GB written + read back per doc-encoder direction -- the dominant HBM
+# traffic of the whole model (PERF.md).  This variant reads only the
+# embedded tokens ``x [B, T, E]`` and computes both matmuls per step on the
+# MXU with all weights VMEM-resident, so sequence-length traffic drops to
+# (read x once + write h once).
+#
+# Contract: E % 128 == 0 and H % 128 == 0 (TPU lane width).
+
+
+def fused_supported(embed: int, hidden: int, batch: int) -> bool:
+    return embed % 128 == 0 and hidden % 128 == 0 and batch >= 8
+
+
+def _lstm_fused_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref, out_ref,
+                       h_scr, c_scr, *, h: int, e: int, tc: int,
+                       reverse: bool):
+    """One (batch_tile, time_chunk) grid step, tc timesteps.
+
+    x_ref    [TB, tc*E]   embedded tokens for this chunk
+    mask_ref [tc, 1, TB]  per-step validity
+    wih_ref  [E, 4H]      input projection (VMEM-resident)
+    b_ref    [1, 4H]      bias
+    whh_ref  [H, 4H]      recurrent weights (VMEM-resident)
+    out_ref  [TB, tc*H]   hidden states
+    h_scr/c_scr [TB, H]   carried state (f32)
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    hs = h_scr[:]
+    cs = c_scr[:]
+    steps = range(tc - 1, -1, -1) if reverse else range(tc)
+    for k in steps:
+        x_t = x_ref[:, k * e:(k + 1) * e]
+        gates = jnp.dot(x_t, wih_ref[:],
+                        preferred_element_type=jnp.float32)
+        gates += jnp.dot(hs.astype(whh_ref.dtype), whh_ref[:],
+                         preferred_element_type=jnp.float32)
+        gates += b_ref[0, :].astype(jnp.float32)[None, :]
+        i = jax.nn.sigmoid(gates[:, :h])
+        f = jax.nn.sigmoid(gates[:, h:2 * h])
+        g = jnp.tanh(gates[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(gates[:, 3 * h:])
+        c_new = f * cs + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = mask_ref[k, 0, :][:, None].astype(jnp.float32)
+        hs = m * h_new + (1.0 - m) * hs
+        cs = m * c_new + (1.0 - m) * cs
+        out_ref[:, k * h:(k + 1) * h] = (hs * m).astype(out_ref.dtype)
+    h_scr[:] = hs
+    c_scr[:] = cs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reverse", "block_b", "time_chunk",
+                                    "interpret"))
+def _lstm_fused_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
+                     block_b: int = 512, time_chunk: int = 8,
+                     interpret: bool = False):
+    B, T, E = x.shape
+    H = w_hh.shape[0]
+    assert E % 128 == 0 and H % 128 == 0, "fused kernel needs 128-aligned dims"
+    if B <= block_b:
+        Bp = TB = _round_up(B, 16)
+    else:
+        TB = _round_up(block_b, 128)
+        Bp = _round_up(B, TB)
+    TC = min(time_chunk, T)
+    Tp = _round_up(T, TC)
+
+    if Bp != B or Tp != T:
+        x = jnp.pad(x, ((0, Bp - B), (0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, ((0, Bp - B), (0, Tp - T)))
+    x2 = x.reshape(Bp, Tp * E)
+    mask_i = mask.astype(jnp.int32).T[:, None, :]   # [Tp, 1, Bp]
+    b2 = b.reshape(1, -1)
+
+    n_chunks = Tp // TC
+    tsel = ((lambda t: n_chunks - 1 - t) if reverse else (lambda t: t))
+
+    out = pl.pallas_call(
+        functools.partial(_lstm_fused_kernel, h=H, e=E, tc=TC,
+                          reverse=reverse),
+        grid=(Bp // TB, n_chunks),
+        in_specs=[
+            pl.BlockSpec((TB, TC * E), lambda bb, t: (bb, tsel(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, 1, TB), lambda bb, t: (tsel(t), 0, bb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 4 * H), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, TC * H), lambda bb, t: (bb, tsel(t)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp * H), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Tp * (E + H) * 4 * H,
+            bytes_accessed=(Bp * Tp * (E + H) + (E + H) * 4 * H)
+            * x.dtype.itemsize,
+            transcendentals=Bp * Tp * H * 5,
+        ),
+        interpret=interpret,
+    )(x2, mask_i, w_ih, b2, w_hh)
+    return out.reshape(Bp, Tp, H)[:B, :T]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def lstm_pallas_fused(x, mask, w_ih, b, w_hh, reverse: bool = False):
+    """Fused (input projection + recurrence) masked LSTM.
+
+    x [B, T, E] embedded tokens -> hidden states [B, T, H]; zero initial
+    state.  Differentiable via scan-replay backward.
+    """
+    return _lstm_fused_impl(x, mask, w_ih, b, w_hh, reverse=reverse)
+
+
+def _fused_fwd(x, mask, w_ih, b, w_hh, reverse):
+    return (lstm_pallas_fused(x, mask, w_ih, b, w_hh, reverse),
+            (x, mask, w_ih, b, w_hh))
+
+
+def _fused_bwd(reverse, res, g):
+    x, mask, w_ih, b, w_hh = res
+
+    def ref(x, w_ih, b, w_hh):
+        x_proj = x @ w_ih + b
+        return lstm_pallas_reference(x_proj, mask, w_hh, reverse=reverse)
+
+    _, vjp = jax.vjp(ref, x, w_ih, b, w_hh)
+    dx, dwih, db, dwhh = vjp(g)
+    return dx, None, dwih, db, dwhh
+
+
+lstm_pallas_fused.defvjp(_fused_fwd, _fused_bwd)

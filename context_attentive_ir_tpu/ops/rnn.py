@@ -113,9 +113,11 @@ class RNNLayer(nn.Module):
             return False
         if jax.default_backend() != "tpu":
             return False
-        from .pallas.lstm import lstm_supported
+        # only the fused (projection-in-kernel) variant beats the XLA scan
+        # (PERF.md); otherwise the scan path is the fast one
+        from .pallas.lstm import fused_supported
 
-        return lstm_supported(self.features, x.shape[0])
+        return fused_supported(x.shape[-1], self.features, x.shape[0])
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -134,15 +136,17 @@ class RNNLayer(nn.Module):
                               (H, n_gates * H), self.param_dtype)
             b_ih = self.param(f"b_ih_{d}", nn.initializers.zeros,
                               (n_gates * H,), self.param_dtype)
-            # one big MXU matmul over all timesteps
-            x_proj = x @ w_ih.astype(self.dtype) + b_ih.astype(self.dtype)
             h_init = jnp.zeros((B, H), self.dtype) if h0 is None else h0
             if self.rnn_type == "lstm" and self._pallas_ok(
                     x, h0, deterministic):
-                from .pallas.lstm import lstm_pallas
+                from .pallas.lstm import lstm_pallas_fused
 
-                o = lstm_pallas(x_proj, mask, w_hh.astype(self.dtype),
-                                d == "bwd")
+                # fused kernel computes the input projection on-chip:
+                # no [B, T, 4H] gate tensor ever touches HBM
+                o = lstm_pallas_fused(
+                    x, mask, w_ih.astype(self.dtype),
+                    b_ih.astype(self.dtype),
+                    w_hh.astype(self.dtype), d == "bwd")
                 if d == "bwd":
                     hT = o[:, 0]
                 else:
@@ -151,12 +155,15 @@ class RNNLayer(nn.Module):
                     hT = jnp.take_along_axis(
                         o, last[:, None, None], axis=1)[:, 0]
             elif self.rnn_type == "lstm":
+                # one big MXU matmul over all timesteps
+                x_proj = x @ w_ih.astype(self.dtype) + b_ih.astype(self.dtype)
                 o, (hT, _cT) = lstm_scan(
                     x_proj, mask, w_hh.astype(self.dtype), h_init,
                     jnp.zeros((B, H), self.dtype), reverse=(d == "bwd"))
             else:
                 b_hh = self.param(f"b_hh_{d}", nn.initializers.zeros,
                                   (n_gates * H,), self.param_dtype)
+                x_proj = x @ w_ih.astype(self.dtype) + b_ih.astype(self.dtype)
                 o, hT = gru_scan(x_proj, mask, w_hh.astype(self.dtype),
                                  b_hh.astype(self.dtype), h_init,
                                  reverse=(d == "bwd"))

@@ -65,3 +65,44 @@ def test_custom_vjp_grads_match_scan():
                                rtol=1e-2)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-2,
                                rtol=1e-2)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_kernel_matches_scan(reverse):
+    from context_attentive_ir_tpu.ops.pallas.lstm import (
+        _lstm_fused_impl,
+        lstm_pallas_reference,
+    )
+
+    rng = np.random.RandomState(4)
+    b, t, e, h = 24, 7, 128, 128
+    x = jnp.asarray(rng.normal(size=(b, t, e)).astype(np.float32) * 0.3)
+    w_ih = jnp.asarray((rng.normal(size=(e, 4 * h)) * 0.1).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(4 * h,)) * 0.1).astype(np.float32))
+    w_hh = jnp.asarray((rng.normal(size=(h, 4 * h)) * 0.1).astype(np.float32))
+    lens = rng.randint(1, t + 1, size=(b,))
+    lens[0] = t
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    ref = lstm_pallas_reference(x @ w_ih + bias, mask, w_hh, reverse=reverse)
+    out = _lstm_fused_impl(x, mask, w_ih, bias, w_hh, reverse=reverse,
+                           block_b=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=2e-3)
+
+
+def test_rnnlayer_use_pallas_falls_back_on_cpu():
+    """With use_pallas=True on a non-TPU backend the layer must silently
+    use the scan path and produce identical results/params."""
+    from context_attentive_ir_tpu.ops.rnn import RNNLayer
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.normal(size=(8, 5, 128)).astype(np.float32))
+    mask = jnp.asarray(np.ones((8, 5), bool))
+    a = RNNLayer(features=128, use_pallas=False)
+    b = RNNLayer(features=128, use_pallas=True)
+    pa = a.init(jax.random.key(0), x, mask)
+    pb = b.init(jax.random.key(0), x, mask)
+    oa, fa = a.apply(pa, x, mask, deterministic=True)
+    ob, fb = b.apply(pb, x, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-6)
