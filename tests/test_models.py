@@ -174,3 +174,16 @@ def test_dssm_charngram(data):
     scores = model.apply(params, batch, True)
     assert scores.shape == (B, SHAPES.num_candidates)
     assert "char_cnn" in params["params"]
+
+
+def test_gru_and_multilayer_variants(data):
+    """--rnn_type gru and --nlayers 2 paths (reference Encoder flags)."""
+    sessions, word_dict = data
+    for kw in ({"rnn_type": "gru", "session_rnn_type": "gru"},
+               {"nlayers": 2}, {"bidirection": False}):
+        cfg = small_config("mnsrf", len(word_dict)).replace(**kw)
+        model = build_model(cfg)
+        batch = _batch_for("mnsrf", sessions, word_dict)
+        params = model.init({"params": jax.random.key(0)}, batch, True)
+        out = model.apply(params, batch, True)
+        assert np.isfinite(np.asarray(out["scores"], np.float32)).all(), kw
