@@ -1,0 +1,117 @@
+"""Train + evaluate the whole model zoo on the synthetic corpus.
+
+Produces RESULTS.md: the rebuild's analogue of the reference's result
+tables (SURVEY.md SS6 -- real AOL is not redistributable, so the shared
+synthetic corpus is the common yardstick; every model sees identical data,
+shapes, and budget).
+
+Usage:  python scripts/run_suite.py [--out RESULTS.md] [--epochs 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from context_attentive_ir_tpu.config import (  # noqa: E402
+    RANKERS,
+    RECOMMENDERS,
+    MULTITASK,
+    RunConfig,
+    default_config,
+)
+from context_attentive_ir_tpu.data import (  # noqa: E402
+    build_dictionary,
+    load_data,
+    load_embeddings,
+    write_fixture,
+    write_glove_fixture,
+)
+from context_attentive_ir_tpu.train import Trainer  # noqa: E402
+from context_attentive_ir_tpu.utils import format_table, setup_logging  # noqa: E402
+
+DIMS = dict(emsize=64, nhid=64, nhid_ffnn=128, nfilters=32,
+            max_query_len=10, max_doc_len=12, max_session_len=4,
+            num_candidates=10, compute_dtype="bfloat16")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(ROOT / "RESULTS.md"))
+    ap.add_argument("--data_dir", default="/tmp/suite_data")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--models", default=",".join(
+        RANKERS + RECOMMENDERS + MULTITASK))
+    args = ap.parse_args()
+    setup_logging()
+
+    data = Path(args.data_dir)
+    write_fixture(data / "train.jsonl", n_sessions=1000, n_candidates=10,
+                  seed=0)
+    write_fixture(data / "dev.jsonl", n_sessions=150, n_candidates=10,
+                  seed=1)
+    write_fixture(data / "test.jsonl", n_sessions=150, n_candidates=10,
+                  seed=2)
+    glove = write_glove_fixture(data / "glove.txt", dim=DIMS["emsize"])
+
+    base = default_config("cars").replace(**DIMS)
+    load = lambda p: load_data(p, base.max_query_len, base.max_doc_len,
+                               base.num_candidates, base.max_session_len)
+    train, dev, test = (load(data / f"{s}.jsonl")
+                        for s in ("train", "dev", "test"))
+    streams = [q.tokens for s in train for q in s.queries]
+    streams += [d.tokens for s in train for q in s.queries
+                for d in q.documents]
+    word_dict = build_dictionary(streams)
+    table, _ = load_embeddings(glove, word_dict, DIMS["emsize"])
+
+    rows = []
+    for model_type in args.models.split(","):
+        cfg = default_config(model_type).replace(
+            vocab_size=len(word_dict), **DIMS)
+        fam = ("ranker" if model_type in RANKERS else
+               "recommender" if model_type in RECOMMENDERS else "multitask")
+        run = RunConfig(
+            model_dir=str(data / "runs"), model_name=model_type,
+            batch_size=32, test_batch_size=32,
+            num_epochs=1 if model_type == "esm" else args.epochs,
+            display_iter=1000, early_stop=3,
+            valid_metric="map" if fam != "recommender" else "bleu-1",
+            beam_size=1 if fam == "ranker" else 3, seed=1013)
+        t0 = time.time()
+        tr = Trainer(cfg, run, word_dict,
+                     pretrained=table if model_type == "esm" else table)
+        tr.fit(train, dev)
+        res = tr.test(test)
+        row = {"model": model_type,
+               "map": res.get("map"), "mrr": res.get("mrr"),
+               "ndcg@3": res.get("ndcg@3"),
+               "bleu-1": res.get("bleu-1"), "bleu-4": res.get("bleu-4"),
+               "rouge-l": res.get("rouge-l"), "f1": res.get("f1"),
+               "min": round((time.time() - t0) / 60, 1)}
+        rows.append({k: v for k, v in row.items() if v is not None})
+        print(f"== {model_type} done: {row}", flush=True)
+
+    # normalize columns for the table
+    cols = ["model", "map", "mrr", "ndcg@3", "bleu-1", "bleu-4",
+            "rouge-l", "f1", "min"]
+    norm = [{c: r.get(c, "") for c in cols} for r in rows]
+    md = ["# RESULTS — synthetic-corpus model zoo run",
+          "",
+          "1000/150/150 train/dev/test sessions, slate=10, shared vocab +",
+          f"fixture GloVe ({DIMS['emsize']}-d), bf16, {args.epochs} epochs",
+          "max, early stop 3, beam 3 for suggestion models. Ranking",
+          "metrics for rankers/multitask; BLEU/ROUGE for",
+          "recommenders/multitask. Times include jit compiles.",
+          "", "```", format_table(norm, "test results"), "```", ""]
+    Path(args.out).write_text("\n".join(md))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,3 +42,49 @@ def test_encode_targets_matches_python(vocab):
         np.testing.assert_array_equal(tin[i], rin, err_msg=t)
         np.testing.assert_array_equal(tout[i], rout, err_msg=t)
         np.testing.assert_array_equal(tmask[i], rmask, err_msg=t)
+
+
+def test_fast_batch_builders_match_python():
+    """Whole-batch equivalence: fast vs Python rank/session builders."""
+    import numpy as np
+
+    from context_attentive_ir_tpu.data import (
+        ShapeConfig,
+        build_rank_batch,
+        build_session_batch,
+        generate_sessions,
+        rank_examples,
+    )
+    from context_attentive_ir_tpu.data.objects import Session
+
+    sessions = [Session.from_dict(d)
+                for d in generate_sessions(n_sessions=6, n_candidates=5,
+                                           seed=9)]
+    streams = [q.tokens for s in sessions for q in s.queries]
+    streams += [d.tokens for s in sessions for q in s.queries
+                for d in q.documents]
+    wd = build_dictionary(streams)
+    fv = fast.FastVocab(wd)
+    shapes = ShapeConfig(max_query_len=6, max_doc_len=8, max_session_len=3,
+                         num_candidates=5)
+    for s in sessions:
+        s.queries = s.queries[:3]
+        for q in s.queries:
+            q.tokens = q.tokens[:6]
+            q.documents = q.documents[:5]
+            for d in q.documents:
+                d.tokens = d.tokens[:8]
+
+    ex = rank_examples(sessions)
+    a = build_rank_batch(ex, wd, shapes, batch_size=len(ex) + 2)
+    b = build_rank_batch(ex, wd, shapes, batch_size=len(ex) + 2, fast=fv)
+    for f in ("query", "query_mask", "docs", "doc_mask", "labels",
+              "cand_mask", "row_mask"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), f)
+
+    a = build_session_batch(sessions, wd, shapes, batch_size=8)
+    b = build_session_batch(sessions, wd, shapes, batch_size=8, fast=fv)
+    for f in ("query", "query_mask", "docs", "doc_mask", "clicks",
+              "cand_mask", "turn_mask", "target_in", "target_out",
+              "target_mask", "row_mask"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), f)
