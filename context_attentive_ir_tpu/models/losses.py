@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.masking import NEG_INF, masked_log_softmax
+from ..ops.masking import masked_log_softmax
 
 
 def listwise_rank_loss(scores: jnp.ndarray, labels: jnp.ndarray,
@@ -101,5 +101,5 @@ def copy_generator_nll_loss(gen_probs: jnp.ndarray,
 
 __all__ = [
     "listwise_rank_loss", "pairwise_hinge_loss", "pointwise_bce_loss",
-    "rank_loss", "sequence_nll_loss", "copy_generator_nll_loss", "NEG_INF",
+    "rank_loss", "sequence_nll_loss", "copy_generator_nll_loss",
 ]

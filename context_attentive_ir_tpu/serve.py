@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from .config import ModelConfig
-from .data import Dictionary, ShapeConfig, build_session_batch
+from .data import Dictionary, build_session_batch
 from .data.objects import Document, Query, Session
 from .decode import beam_search, greedy_decode
 from .models import build_model, task_family

@@ -12,9 +12,11 @@ PyTree serialized with flax msgpack; config and vocabulary are JSON
 sidecars inside a checkpoint *directory*.  Saves are atomic
 (write-to-temp + rename) and optionally asynchronous on a background
 thread (SURVEY.md SS5.4 "async save") so the device never waits on disk.
-Deterministic resume: the data-order state (epoch, batch index, shuffle
-seed) is stored in ``extra`` so training continues exactly where it
-stopped (SURVEY.md SS5.3).
+Deterministic resume: checkpoints are written at epoch boundaries and
+``extra`` records the epoch + shuffle seed; combined with the
+deterministic iterator (data/dataset.py) training continues exactly at
+the next epoch (SURVEY.md SS5.3; the iterator also supports mid-epoch
+``start_batch`` for finer-grained schemes).
 """
 
 from __future__ import annotations

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..data.dictionary import Dictionary
-from ..data.vectorize import SessionBatch, SuggestBatch
+from ..data.vectorize import SessionBatch
 from ..decode import beam_search, greedy_decode
 from ..eval import bleu_metrics, ranking_metrics, rouge_metrics
 from ..eval.text_metrics import exact_match, token_f1

@@ -9,7 +9,6 @@ supplied (SURVEY.md SS5.8) -- XLA inserts the ICI all-reduce for gradients.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -8,8 +8,8 @@ checkpointing, final test eval + prediction dump.
 
 TPU-first: the hot loop is (host collate -> ``shard_batch`` -> one compiled
 ``train_step``); everything else (metrics, checkpoint IO) is off the
-device path.  Data order is deterministic and resumable (epoch seed +
-batch index persisted in the checkpoint ``extra``, SURVEY.md SS5.3).
+device path.  Data order is deterministic and resumable (epoch-boundary
+checkpoints + seeded per-epoch shuffles, SURVEY.md SS5.3).
 """
 
 from __future__ import annotations
