@@ -70,8 +70,19 @@ def main():
     word_dict = build_dictionary(streams)
     table, _ = load_embeddings(glove, word_dict, DIMS["emsize"])
 
+    import json
+    done_file = data / "results.jsonl"
+    done = {}
+    if done_file.exists():
+        for line in done_file.read_text().splitlines():
+            r = json.loads(line)
+            done[r["model"]] = r
     rows = []
     for model_type in args.models.split(","):
+        if model_type in done:
+            rows.append(done[model_type])
+            print(f"== {model_type} cached: {done[model_type]}", flush=True)
+            continue
         cfg = default_config(model_type).replace(
             vocab_size=len(word_dict), **DIMS)
         fam = ("ranker" if model_type in RANKERS else
@@ -94,7 +105,10 @@ def main():
                "bleu-1": res.get("bleu-1"), "bleu-4": res.get("bleu-4"),
                "rouge-l": res.get("rouge-l"), "f1": res.get("f1"),
                "min": round((time.time() - t0) / 60, 1)}
-        rows.append({k: v for k, v in row.items() if v is not None})
+        row = {k: v for k, v in row.items() if v is not None}
+        rows.append(row)
+        with open(done_file, "a") as f:
+            f.write(json.dumps(row) + "\n")
         print(f"== {model_type} done: {row}", flush=True)
 
     # normalize columns for the table
