@@ -91,12 +91,29 @@ class CARS(nn.Module):
 
     # -- session encoding ----------------------------------------------------
 
+    def encode_docs(self, docs: jnp.ndarray, doc_mask: jnp.ndarray,
+                    deterministic: bool = True) -> jnp.ndarray:
+        """Query-independent document token states.
+
+        docs int32 [..., Ld] -> states [..., Ld, H2].  Because nothing here
+        depends on the query or session, serving can precompute these once
+        per corpus and reuse them across requests (serve.py DocIndex) --
+        the doc BiLSTM + embedding gather are ~85% of scoring cost
+        (PERF.md).
+        """
+        lead = docs.shape[:-1]
+        Ld = docs.shape[-1]
+        d = self.embeddings(docs, deterministic)
+        d_states, _ = self.doc_encoder(
+            d.reshape((-1, Ld) + d.shape[-1:]),
+            doc_mask.reshape(-1, Ld), deterministic)
+        return d_states.reshape(lead + d_states.shape[-2:])
+
     def encode_session(self, batch: SessionBatch,
-                       deterministic: bool = True):
+                       deterministic: bool = True,
+                       d_states: jnp.ndarray | None = None):
         B, S, Lq = batch.query.shape
-        _, _, N, Ld = batch.docs.shape
         q = self.embeddings(batch.query, deterministic)
-        d = self.embeddings(batch.docs, deterministic)
 
         q_states, _ = self.query_encoder(
             q.reshape(B * S, Lq, -1), batch.query_mask.reshape(B * S, Lq),
@@ -104,10 +121,9 @@ class CARS(nn.Module):
         q_states = q_states.reshape(B, S, Lq, -1)
         qv = self.query_pool(q_states, batch.query_mask)       # [B, S, H2]
 
-        d_states, _ = self.doc_encoder(
-            d.reshape(B * S * N, Ld, -1),
-            batch.doc_mask.reshape(B * S * N, Ld), deterministic)
-        d_states = d_states.reshape(B, S, N, Ld, -1)
+        if d_states is None:
+            d_states = self.encode_docs(batch.docs, batch.doc_mask,
+                                        deterministic)         # [B,S,N,Ld,H2]
         # query-aware attentive pooling: each candidate pools its tokens
         # w.r.t. its query vector
         dv = self.doc_pool(d_states, batch.doc_mask,
@@ -190,8 +206,12 @@ class CARS(nn.Module):
 
     # -- inference -----------------------------------------------------------
 
-    def score(self, batch: SessionBatch):
-        _, qv, dv, sq, sc = self.encode_session(batch, True)
+    def score(self, batch: SessionBatch,
+              d_states: jnp.ndarray | None = None):
+        """Slate scores; pass precomputed ``d_states`` (from
+        ``encode_docs``) to skip document encoding entirely."""
+        _, qv, dv, sq, sc = self.encode_session(batch, True,
+                                                d_states=d_states)
         q_ctx = self.context_attend(qv, sq, sc, batch.turn_mask)
         return self.rank_scores(q_ctx, dv)
 

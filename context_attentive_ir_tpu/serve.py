@@ -119,6 +119,65 @@ class Engine:
             out.append(row[: len(req[1])].tolist())
         return out
 
+    # -- cached-document ranking ----------------------------------------------
+
+    def index_documents(self, texts: Sequence[str]) -> dict:
+        """Precompute query-independent document encodings (CARS-family).
+
+        The doc BiLSTM + embedding gather are ~85% of scoring cost; a
+        corpus indexed once serves repeat-doc reranking at a fraction of
+        the compute (PERF.md).  Returns {'states' [n, Ld, H2],
+        'mask' [n, Ld]} on device.
+        """
+        assert hasattr(self.model, "encode_docs"), (
+            f"{self.config.model_type} has no cached-doc path")
+        Ld = self.shapes.max_doc_len
+        ids = np.zeros((len(texts), Ld), np.int32)
+        mask = np.zeros((len(texts), Ld), bool)
+        for i, t in enumerate(texts):
+            toks = self.word_dict.encode(t.split()[:Ld])
+            ids[i, :len(toks)] = toks
+            mask[i, :len(toks)] = True
+        encode = jax.jit(lambda p, d, m: self.model.apply(
+            {"params": p}, d, m, method=self.model.encode_docs))
+        states = encode(self.params, ids, mask)
+        return {"states": states, "mask": jax.device_put(mask)}
+
+    def rank_indexed(self, query: str, doc_ids: Sequence[int],
+                     index: dict, history: Sequence[str] = ()) -> list[float]:
+        """Score indexed documents for a query without re-encoding them."""
+        N, Ld = self.shapes.num_candidates, self.shapes.max_doc_len
+        sess = self._to_sessions(history, query, ["x"] * len(doc_ids))
+        B = self._bucket(1)
+        batch = build_session_batch([sess], self.word_dict, self.shapes,
+                                    batch_size=B)
+        # gather cached states into the slate slot layout [B,S,N,Ld,H2]
+        idx = np.zeros((N,), np.int32)
+        idx[: len(doc_ids)] = np.asarray(doc_ids, np.int32)
+        if not hasattr(self, "_rank_indexed_jit"):
+            def impl(params, batch, states, smask, idx):
+                import jax.numpy as jnp
+
+                S = batch.query.shape[1]
+                d_states = jnp.take(states, idx, axis=0)      # [N, Ld, H2]
+                d_states = jnp.broadcast_to(
+                    d_states[None, None],
+                    (batch.query.shape[0], S) + d_states.shape)
+                dmask = jnp.take(smask, idx, axis=0)
+                dmask = jnp.broadcast_to(
+                    dmask[None, None],
+                    (batch.query.shape[0], S) + dmask.shape)
+                batch = batch.replace(doc_mask=dmask)
+                return self.model.apply({"params": params}, batch,
+                                        d_states, method=self.model.score)
+
+            self._rank_indexed_jit = jax.jit(impl)
+        scores = np.asarray(jax.device_get(self._rank_indexed_jit(
+            self.params, batch, index["states"], index["mask"], idx)),
+            np.float32)
+        t_last = len(sess.queries) - 1
+        return scores[0, t_last][: len(doc_ids)].tolist()
+
     # -- suggestion -----------------------------------------------------------
 
     def _suggest_impl(self, params, batch, beam_size: int):

@@ -64,3 +64,24 @@ def test_engine_rank_and_suggest(trained_cars):
     assert len(sugg) == 2
     text, score = sugg[0]
     assert isinstance(text, str) and np.isfinite(score)
+
+
+def test_indexed_ranking_matches_full(trained_cars):
+    """Cached doc-state path must reproduce full-path scores (CARS)."""
+    path, sessions, _ = trained_cars
+    eng = Engine.from_checkpoint(path, beam_size=1)
+    q = sessions[1].queries[-1]
+    history = [" ".join(x.tokens) for x in sessions[1].queries[:-1]]
+    docs = [" ".join(d.tokens) for d in q.documents]
+
+    full = eng.rank(" ".join(q.tokens), docs, history)
+    index = eng.index_documents(docs)
+    cached = eng.rank_indexed(" ".join(q.tokens), list(range(len(docs))),
+                              index, history)
+    np.testing.assert_allclose(cached, full, atol=2e-3, rtol=1e-3)
+
+    # reordered subset
+    sub = [2, 0, 3]
+    cached_sub = eng.rank_indexed(" ".join(q.tokens), sub, index, history)
+    np.testing.assert_allclose(cached_sub, [full[i] for i in sub],
+                               atol=2e-3, rtol=1e-3)
