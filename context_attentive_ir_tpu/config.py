@@ -91,8 +91,9 @@ class ModelConfig:
     # precision / kernels
     compute_dtype: str = "float32"   # 'bfloat16' on TPU for the fast path
     # dispatch eval-mode LSTM encoders to the fused Pallas kernel when the
-    # shape qualifies (TPU only; training always uses the scan path)
-    use_pallas_rnn: bool = False
+    # shape qualifies (TPU backend, emsize/nhid 128-aligned); training and
+    # unaligned shapes always use the lax.scan path
+    use_pallas_rnn: bool = True
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
