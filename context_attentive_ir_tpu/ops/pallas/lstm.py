@@ -311,23 +311,288 @@ def _lstm_fused_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
     return out.reshape(Bp, Tp, H)[:B, :T]
 
 
+# -- backward: chunked rematerialization ------------------------------------
+#
+# Training-path kernel.  The forward (residual variant) additionally emits
+# the carried (h, c) state at each chunk boundary; the backward kernel
+# walks chunks in reverse processing order, recomputes the forward inside
+# the chunk from its boundary state (cheaper than storing per-step
+# activations in HBM), and runs the cell backward: dgates -> dx on the MXU,
+# with dW_ih / dW_hh / db accumulated directly in their (VMEM-resident)
+# output blocks across the whole grid.  dh/dc carry across chunks in
+# scratch, resetting at each batch tile.
+
+
+def _lstm_fused_res_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref,
+                           out_ref, hb_ref, cb_ref, h_scr, c_scr, *,
+                           h: int, e: int, tc: int, reverse: bool):
+    """Forward + chunk-boundary residuals (same math as the fwd kernel)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    hb_ref[0] = h_scr[:]
+    cb_ref[0] = c_scr[:]
+    _lstm_fused_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref, out_ref,
+                       h_scr, c_scr, h=h, e=e, tc=tc, reverse=reverse)
+
+
+def _lstm_fused_bwd_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref,
+                           wih_t_ref, whh_t_ref, hb_ref, cb_ref, dout_ref,
+                           dx_ref, dwih_ref, dwhh_ref, db_ref,
+                           dh_scr, dc_scr, *, h: int, e: int, tc: int,
+                           reverse: bool):
+    """One (batch_tile, chunk) backward step (chunks in reverse order)."""
+    bb = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init_carry():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    @pl.when(jnp.logical_and(bb == 0, j == 0))
+    def _init_acc():
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    cdt = whh_ref.dtype  # compute dtype for MXU operands
+
+    # --- recompute the forward inside this chunk from its boundary ---------
+    hs = hb_ref[0]
+    cs = cb_ref[0]
+    ks = list(range(tc - 1, -1, -1) if reverse else range(tc))
+    saved = []  # per step: (h_prev, c_prev, i, f, g, o, c_new, m)
+    for k in ks:
+        x_t = x_ref[:, k * e:(k + 1) * e]
+        gates = jnp.dot(x_t, wih_ref[:], preferred_element_type=jnp.float32)
+        gates += jnp.dot(hs.astype(cdt), whh_ref[:],
+                         preferred_element_type=jnp.float32)
+        gates += b_ref[0, :].astype(jnp.float32)[None, :]
+        i = jax.nn.sigmoid(gates[:, :h])
+        f = jax.nn.sigmoid(gates[:, h:2 * h])
+        g = jnp.tanh(gates[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(gates[:, 3 * h:])
+        c_new = f * cs + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = mask_ref[k, 0, :][:, None].astype(jnp.float32)
+        saved.append((hs, cs, i, f, g, o, c_new, m))
+        hs = m * h_new + (1.0 - m) * hs
+        cs = m * c_new + (1.0 - m) * cs
+
+    # --- reverse pass over the chunk ---------------------------------------
+    dh = dh_scr[:]
+    dc = dc_scr[:]
+    for k, (h_prev, c_prev, i, f, g, o, c_new, m) in zip(
+            reversed(ks), reversed(saved)):
+        dout_t = dout_ref[:, k * h:(k + 1) * h].astype(jnp.float32)
+        dh_new = m * (dout_t + dh)
+        dcn = m * dc
+        tanh_c = jnp.tanh(c_new)
+        do_ = dh_new * tanh_c
+        dcn += dh_new * o * (1.0 - tanh_c * tanh_c)
+        df_ = dcn * c_prev
+        di_ = dcn * g
+        dg_ = dcn * i
+        dgates = jnp.concatenate([
+            di_ * i * (1.0 - i),
+            df_ * f * (1.0 - f),
+            dg_ * (1.0 - g * g),
+            do_ * o * (1.0 - o),
+        ], axis=-1)                                        # [TB, 4H] f32
+        dgates_c = dgates.astype(cdt)
+        dx_ref[:, k * e:(k + 1) * e] = jnp.dot(
+            dgates_c, wih_t_ref[:],
+            preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+        dh = (1.0 - m) * dh + jnp.dot(
+            dgates_c, whh_t_ref[:], preferred_element_type=jnp.float32)
+        dc = (1.0 - m) * dc + dcn * f
+        x_t = x_ref[:, k * e:(k + 1) * e]
+        dwih_ref[:] += jax.lax.dot_general(
+            x_t, dgates_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dwih_ref.dtype)
+        dwhh_ref[:] += jax.lax.dot_general(
+            h_prev.astype(cdt), dgates_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dwhh_ref.dtype)
+        db_ref[:] += jnp.sum(dgates, axis=0, keepdims=True)
+    dh_scr[:] = dh
+    dc_scr[:] = dc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reverse", "block_b", "time_chunk",
+                                    "interpret"))
+def _lstm_fused_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
+                         block_b: int = 256, time_chunk: int = 4,
+                         interpret: bool = False):
+    """Forward returning (out, h_bnd, c_bnd) for the kernel backward."""
+    B, T, E = x.shape
+    H = w_hh.shape[0]
+    if B <= block_b:
+        Bp = TB = _round_up(B, 16)
+    else:
+        TB = _round_up(block_b, 128)
+        Bp = _round_up(B, TB)
+    TC = min(time_chunk, T)
+    Tp = _round_up(T, TC)
+    if Bp != B or Tp != T:
+        x = jnp.pad(x, ((0, Bp - B), (0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, ((0, Bp - B), (0, Tp - T)))
+    x2 = x.reshape(Bp, Tp * E)
+    mask_i = mask.astype(jnp.int32).T[:, None, :]
+    b2 = b.reshape(1, -1)
+    n_chunks = Tp // TC
+    tsel = ((lambda t: n_chunks - 1 - t) if reverse else (lambda t: t))
+
+    out, hb, cb = pl.pallas_call(
+        functools.partial(_lstm_fused_res_kernel, h=H, e=E, tc=TC,
+                          reverse=reverse),
+        grid=(Bp // TB, n_chunks),
+        in_specs=[
+            pl.BlockSpec((TB, TC * E), lambda bb, t: (bb, tsel(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, 1, TB), lambda bb, t: (tsel(t), 0, bb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 4 * H), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, TC * H), lambda bb, t: (bb, tsel(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), lambda bb, t: (tsel(t), bb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), lambda bb, t: (tsel(t), bb, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, Tp * H), x.dtype),
+            jax.ShapeDtypeStruct((n_chunks, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, Bp, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, mask_i, w_ih, b2, w_hh)
+    return out.reshape(Bp, Tp, H)[:B, :T], hb, cb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reverse", "block_b", "time_chunk",
+                                    "interpret"))
+def _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, dout,
+                         reverse: bool = False, block_b: int = 256,
+                         time_chunk: int = 4, interpret: bool = False):
+    B, T, E = x.shape
+    H = w_hh.shape[0]
+    if B <= block_b:
+        Bp = TB = _round_up(B, 16)
+    else:
+        TB = _round_up(block_b, 128)
+        Bp = _round_up(B, TB)
+    TC = min(time_chunk, T)
+    Tp = _round_up(T, TC)
+    if Bp != B or Tp != T:
+        x = jnp.pad(x, ((0, Bp - B), (0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, ((0, Bp - B), (0, Tp - T)))
+        dout = jnp.pad(dout, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    x2 = x.reshape(Bp, Tp * E)
+    dout2 = dout.reshape(Bp, Tp * H)
+    mask_i = mask.astype(jnp.int32).T[:, None, :]
+    b2 = b.reshape(1, -1)
+    n_chunks = Tp // TC
+    # reverse of the forward's processing order
+    tsel_f = ((lambda t: n_chunks - 1 - t) if reverse else (lambda t: t))
+    jsel = lambda j: tsel_f(n_chunks - 1 - j)
+
+    dx, dwih, dwhh, db = pl.pallas_call(
+        functools.partial(_lstm_fused_bwd_kernel, h=H, e=E, tc=TC,
+                          reverse=reverse),
+        grid=(Bp // TB, n_chunks),
+        in_specs=[
+            pl.BlockSpec((TB, TC * E), lambda bb, j: (bb, jsel(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, 1, TB), lambda bb, j: (jsel(j), 0, bb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 4 * H), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * H, E), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * H, H), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), lambda bb, j: (jsel(j), bb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), lambda bb, j: (jsel(j), bb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, TC * H), lambda bb, j: (bb, jsel(j)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, TC * E), lambda bb, j: (bb, jsel(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 4 * H), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda bb, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, Tp * E), x.dtype),
+            jax.ShapeDtypeStruct((E, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, mask_i, w_ih, b2, w_hh, w_ih.T, w_hh.T, hb, cb, dout2)
+    dx = dx.reshape(Bp, Tp, E)[:B, :T]
+    return (dx, dwih.astype(w_ih.dtype), db[0].astype(b.dtype),
+            dwhh.astype(w_hh.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def lstm_pallas_fused(x, mask, w_ih, b, w_hh, reverse: bool = False):
     """Fused (input projection + recurrence) masked LSTM.
 
     x [B, T, E] embedded tokens -> hidden states [B, T, H]; zero initial
-    state.  Differentiable via scan-replay backward.
+    state.  Differentiable: on TPU the backward is the chunked-remat
+    kernel above; elsewhere it falls back to a scan replay.
     """
     return _lstm_fused_impl(x, mask, w_ih, b, w_hh, reverse=reverse)
 
 
 def _fused_fwd(x, mask, w_ih, b, w_hh, reverse):
-    return (lstm_pallas_fused(x, mask, w_ih, b, w_hh, reverse),
-            (x, mask, w_ih, b, w_hh))
+    if jax.default_backend() == "tpu":
+        out, hb, cb = _lstm_fused_res_impl(x, mask, w_ih, b, w_hh,
+                                           reverse=reverse)
+        return out, (x, mask, w_ih, b, w_hh, hb, cb)
+    out = _lstm_fused_impl(x, mask, w_ih, b, w_hh, reverse=reverse)
+    return out, (x, mask, w_ih, b, w_hh, None, None)
 
 
 def _fused_bwd(reverse, res, g):
-    x, mask, w_ih, b, w_hh = res
+    x, mask, w_ih, b, w_hh, hb, cb = res
+    if hb is not None:
+        dx, dwih, db, dwhh = _lstm_fused_bwd_impl(
+            x, mask, w_ih, b, w_hh, hb, cb, g, reverse=reverse)
+        return dx, None, dwih, db, dwhh
 
     def ref(x, w_ih, b, w_hh):
         x_proj = x @ w_ih + b

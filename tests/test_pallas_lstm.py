@@ -106,3 +106,50 @@ def test_rnnlayer_use_pallas_falls_back_on_cpu():
     ob, fb = b.apply(pb, x, mask, deterministic=True)
     np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-6)
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_backward_kernel_matches_scan_grads(reverse):
+    """Interpret-mode: the chunked-remat backward kernel must reproduce the
+    scan-path gradients (dx, dW_ih, db, dW_hh)."""
+    from context_attentive_ir_tpu.ops.pallas.lstm import (
+        _lstm_fused_bwd_impl,
+        _lstm_fused_res_impl,
+        lstm_pallas_reference,
+    )
+
+    rng = np.random.RandomState(11)
+    b, t, e, h = 24, 7, 128, 128
+    x = jnp.asarray(rng.normal(size=(b, t, e)).astype(np.float32) * 0.3)
+    w_ih = jnp.asarray((rng.normal(size=(e, 4 * h)) * 0.1).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(4 * h,)) * 0.1).astype(np.float32))
+    w_hh = jnp.asarray((rng.normal(size=(h, 4 * h)) * 0.1).astype(np.float32))
+    lens = rng.randint(1, t + 1, size=(b,))
+    lens[0] = t
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    g = jnp.asarray(rng.normal(size=(b, t, h)).astype(np.float32))
+
+    # reference grads via autodiff of the scan path
+    def ref(x, w_ih, bias, w_hh):
+        return lstm_pallas_reference(x @ w_ih + bias, mask, w_hh,
+                                     reverse=reverse)
+
+    out_ref, vjp = jax.vjp(ref, x, w_ih, bias, w_hh)
+    rx, rwih, rb, rwhh = vjp(g)
+
+    out, hb, cb = _lstm_fused_res_impl(x, mask, w_ih, bias, w_hh,
+                                       reverse=reverse, block_b=16,
+                                       time_chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=5e-4, rtol=2e-3)
+    dx, dwih, db, dwhh = _lstm_fused_bwd_impl(
+        x, mask, w_ih, bias, w_hh, hb, cb, g, reverse=reverse,
+        block_b=16, time_chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx),
+                               atol=3e-3, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(dwih), np.asarray(rwih),
+                               atol=3e-2, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(rb),
+                               atol=3e-2, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(dwhh), np.asarray(rwhh),
+                               atol=3e-2, rtol=3e-3)
