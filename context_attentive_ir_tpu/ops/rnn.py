@@ -108,8 +108,11 @@ class RNNLayer(nn.Module):
     use_pallas: bool = False
 
     def _pallas_ok(self, x: jnp.ndarray, h0, deterministic: bool) -> bool:
-        if not (self.use_pallas and deterministic and h0 is None
-                and self.rnn_type == "lstm"):
+        # Training uses the kernel too: its custom_vjp backward is the
+        # chunked-remat kernel (measured faster than the scan fwd+bwd on
+        # TPU, PERF.md).
+        del deterministic
+        if not (self.use_pallas and h0 is None and self.rnn_type == "lstm"):
             return False
         if jax.default_backend() != "tpu":
             return False
