@@ -191,16 +191,21 @@ class Trainer:
         history = []
         for epoch in range(self.start_epoch, run.num_epochs):
             loss_meter, timer = AverageMeter(), Timer()
+            m = None
             for i, batch in enumerate(train_it.epoch(epoch)):
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
                 self.state, m = self.train_step(self.state, batch, self.rng)
-                loss_meter.update(float(m["loss"]))
+                # materializing the loss forces a device sync; sample it at
+                # display intervals so dispatch runs ahead of the device
                 if (i + 1) % run.display_iter == 0:
+                    loss_meter.update(float(m["loss"]))
                     logger.info(
                         "epoch %d iter %d/%d loss %.4f (avg %.4f) %.1fs",
                         epoch, i + 1, len(train_it), loss_meter.val,
                         loss_meter.avg, timer.time())
+            if m is not None:
+                loss_meter.update(float(m["loss"]))
             valid = self.validate(dev_batches)
             self.metrics.write("epoch", step=epoch, epoch=epoch,
                                train_loss=loss_meter.avg,
