@@ -23,7 +23,8 @@ from ..config import ModelConfig
 from ..data.dictionary import Dictionary
 from ..data.vectorize import SessionBatch
 from ..decode import beam_search, greedy_decode
-from ..eval import bleu_metrics, ranking_metrics, rouge_metrics
+from ..eval import bleu_metrics, corpus_bleu, ranking_metrics, rouge_metrics
+from ..eval.rouge import rouge_l_sentence
 from ..eval.text_metrics import exact_match, token_f1
 from ..models import task_family
 
@@ -120,9 +121,15 @@ def evaluate_suggestions(decode_fn: Callable, params, batches: Iterable,
             hyps.append(hyp)
             refs.append([ref])
             if dump is not None:
+                # per-sentence scores ride along (reference dumps
+                # per-example predictions, SURVEY.md SS4)
+                sent = corpus_bleu([hyp], [[ref]], max_n=4, smooth=True)
                 dump.write(json.dumps(
                     {"hypothesis": " ".join(hyp),
-                     "reference": " ".join(ref)}) + "\n")
+                     "reference": " ".join(ref),
+                     "bleu-4": round(sent[3], 4),
+                     "rouge-l": round(rouge_l_sentence(hyp, [ref]), 4),
+                     "f1": round(token_f1([hyp], [ref]), 4)}) + "\n")
     if dump is not None:
         dump.close()
     out = bleu_metrics(hyps, refs)

@@ -129,3 +129,40 @@ def test_em_f1():
     assert exact_match([["a"]], [["a", "b"]]) == 0.0
     np.testing.assert_allclose(
         token_f1([["a", "b"]], [["a", "c"]]), 0.5)
+
+
+def test_suggestion_dump_has_per_sentence_scores(tmp_path):
+    """Prediction dumps carry per-example BLEU/ROUGE/F1 (reference-style
+    per-example files)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from context_attentive_ir_tpu.data import (
+        Dictionary,
+        build_dictionary,
+        build_suggest_batch,
+        ShapeConfig,
+    )
+    from context_attentive_ir_tpu.data.objects import Query
+    from context_attentive_ir_tpu.train.evaluate import evaluate_suggestions
+
+    wd = build_dictionary([["alpha", "beta", "gamma"]])
+    shapes = ShapeConfig(max_query_len=4, max_doc_len=4, max_session_len=2,
+                         num_candidates=2)
+    qs = [Query("a", ["alpha", "beta"], [])]
+    ex = [(qs, qs[0], Query("b", ["alpha", "gamma"], []))]
+    batch = build_suggest_batch(ex, wd, shapes, batch_size=1)
+
+    # fake decoder emitting the reference tokens followed by EOS
+    target = batch.target_out[0]
+
+    def decode_fn(params, b):
+        return jnp.asarray(target[None, :])
+
+    out = evaluate_suggestions(decode_fn, None, [batch], wd,
+                               dump_path=tmp_path / "h.jsonl")
+    rec = json.loads((tmp_path / "h.jsonl").read_text().splitlines()[0])
+    assert rec["hypothesis"] == "alpha gamma"
+    assert rec["f1"] == 1.0 and rec["bleu-4"] > 0
+    assert out["em"] == 1.0
