@@ -94,6 +94,9 @@ class ModelConfig:
     # shape qualifies (TPU backend, emsize/nhid 128-aligned); training and
     # unaligned shapes always use the lax.scan path
     use_pallas_rnn: bool = True
+    # serving-only: int8 per-row embedding table (halves gather traffic);
+    # enable via Engine.from_checkpoint(quantize_embeddings=True)
+    quantize_embeddings: bool = False
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

@@ -39,5 +39,6 @@ def make_embeddings(config: ModelConfig,
         fixed=config.fix_embeddings,
         dropout=config.dropout_emb,
         dtype=compute_dtype(config),
+        quantized=config.quantize_embeddings,
         name=name,
     )

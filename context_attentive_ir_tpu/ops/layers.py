@@ -32,26 +32,45 @@ class Embeddings(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # int8 per-row symmetric quantization (serving: halves the gather's HBM
+    # traffic; params produced by quantize_embedding_params)
+    quantized: bool = False
 
     def setup(self):
-        if self.pretrained is not None:
-            pre = self.pretrained
-            init = lambda *_: jnp.asarray(pre, self.param_dtype)
+        if self.quantized:
+            self.table_q = self.param(
+                "embedding_q", nn.initializers.zeros,
+                (self.vocab_size, self.features), jnp.int8)
+            self.scale = self.param(
+                "embedding_scale", nn.initializers.ones,
+                (self.vocab_size, 1), jnp.float32)
         else:
-            init = nn.initializers.normal(stddev=0.1)
-        self.table = self.param("embedding", init,
-                                (self.vocab_size, self.features),
-                                self.param_dtype)
+            if self.pretrained is not None:
+                pre = self.pretrained
+                init = lambda *_: jnp.asarray(pre, self.param_dtype)
+            else:
+                init = nn.initializers.normal(stddev=0.1)
+            self.table = self.param("embedding", init,
+                                    (self.vocab_size, self.features),
+                                    self.param_dtype)
         self.drop = nn.Dropout(self.dropout)
 
     def _table(self):
+        if self.quantized:
+            return (self.table_q.astype(self.dtype)
+                    * self.scale.astype(self.dtype))
         t = self.table
         if self.fixed:
             t = jax.lax.stop_gradient(t)
         return t.astype(self.dtype)
 
     def __call__(self, ids: jnp.ndarray, deterministic: bool = True):
-        out = jnp.take(self._table(), ids, axis=0)
+        if self.quantized:
+            rows = jnp.take(self.table_q, ids, axis=0).astype(self.dtype)
+            scales = jnp.take(self.scale, ids, axis=0).astype(self.dtype)
+            out = rows * scales
+        else:
+            out = jnp.take(self._table(), ids, axis=0)
         if self.dropout > 0:
             out = self.drop(out, deterministic=deterministic)
         return out
@@ -59,6 +78,15 @@ class Embeddings(nn.Module):
     def attend(self, h: jnp.ndarray) -> jnp.ndarray:
         """Tied-generator logits: ``h [..., E] @ table.T -> [..., V]``."""
         return h @ self._table().T
+
+
+def quantize_embedding_table(table: np.ndarray) -> tuple[np.ndarray,
+                                                         np.ndarray]:
+    """Per-row symmetric int8 quantization of an [V, E] table."""
+    table = np.asarray(table, np.float32)
+    scale = np.maximum(np.abs(table).max(axis=1, keepdims=True), 1e-8) / 127.0
+    q = np.clip(np.round(table / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
 
 
 class Highway(nn.Module):

@@ -29,6 +29,34 @@ from .train.state import create_train_state
 from .train.trainer import shapes_from_config
 
 
+def quantize_embedding_params(params: dict) -> dict:
+    """Replace every f32 ``embedding`` table with int8 values + per-row
+    scales (serving-time transform; see ops/layers.Embeddings)."""
+    import jax.numpy as jnp
+
+    from .ops.layers import quantize_embedding_table
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "embedding" in v and getattr(v["embedding"], "ndim",
+                                                0) == 2:
+                    sub = dict(v)
+                    q, s = quantize_embedding_table(
+                        np.asarray(jax.device_get(sub.pop("embedding"))))
+                    sub["embedding_q"] = jnp.asarray(q)
+                    sub["embedding_scale"] = jnp.asarray(s)
+                    out[k] = walk(sub)
+                else:
+                    out[k] = walk(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
 class Engine:
     """One loaded model + compiled scoring/suggestion programs."""
 
@@ -51,6 +79,7 @@ class Engine:
 
     @classmethod
     def from_checkpoint(cls, path: str | Path, beam_size: int = 5,
+                        quantize_embeddings: bool = False,
                         **kw) -> "Engine":
         config, word_dict, _ = Checkpointer.peek(path)
         model = build_model(config)
@@ -61,7 +90,11 @@ class Engine:
                                     batch_size=1)
         state = create_train_state(model, config, batch, jax.random.key(0))
         state = Checkpointer.load(path, state)
-        return cls(config, word_dict, state.params, beam_size, **kw)
+        params = state.params
+        if quantize_embeddings:
+            config = config.replace(quantize_embeddings=True)
+            params = quantize_embedding_params(params)
+        return cls(config, word_dict, params, beam_size, **kw)
 
     # -- request -> batch -----------------------------------------------------
 

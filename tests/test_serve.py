@@ -85,3 +85,20 @@ def test_indexed_ranking_matches_full(trained_cars):
     cached_sub = eng.rank_indexed(" ".join(q.tokens), sub, index, history)
     np.testing.assert_allclose(cached_sub, [full[i] for i in sub],
                                atol=2e-3, rtol=1e-3)
+
+
+def test_quantized_embedding_engine(trained_cars):
+    """int8 embedding serving: scores close to the f32 engine, same ranking
+    order on the test slate."""
+    path, sessions, _ = trained_cars
+    eng32 = Engine.from_checkpoint(path, beam_size=1)
+    eng8 = Engine.from_checkpoint(path, beam_size=1,
+                                  quantize_embeddings=True)
+    q = sessions[2].queries[-1]
+    history = [" ".join(x.tokens) for x in sessions[2].queries[:-1]]
+    docs = [" ".join(d.tokens) for d in q.documents]
+    s32 = np.asarray(eng32.rank(" ".join(q.tokens), docs, history))
+    s8 = np.asarray(eng8.rank(" ".join(q.tokens), docs, history))
+    assert np.isfinite(s8).all()
+    np.testing.assert_allclose(s8, s32, atol=0.08, rtol=0.1)
+    np.testing.assert_array_equal(np.argsort(-s8), np.argsort(-s32))
