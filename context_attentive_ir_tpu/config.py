@@ -94,8 +94,10 @@ class ModelConfig:
     # shape qualifies (TPU backend, emsize/nhid 128-aligned); training and
     # unaligned shapes always use the lax.scan path
     use_pallas_rnn: bool = True
-    # serving-only: int8 per-row embedding table (halves gather traffic);
-    # enable via Engine.from_checkpoint(quantize_embeddings=True)
+    # serving-only: int8 per-row embedding table -- halves table memory
+    # (use for very large vocabularies), costs ~20% lookup latency at
+    # V=50k (PERF.md); enable via Engine.from_checkpoint(
+    # quantize_embeddings=True)
     quantize_embeddings: bool = False
 
     def replace(self, **kw) -> "ModelConfig":

@@ -32,8 +32,11 @@ class Embeddings(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    # int8 per-row symmetric quantization (serving: halves the gather's HBM
-    # traffic; params produced by quantize_embedding_params)
+    # int8 per-row symmetric quantization (serving). Halves the table's
+    # HBM *footprint* (big-vocab models); measured ~20% slower per lookup
+    # at V=50k on v5e (the gather is latency-bound and dequant adds a VPU
+    # pass -- PERF.md), so enable for memory, not speed.  Params produced
+    # by serve.quantize_embedding_params.
     quantized: bool = False
 
     def setup(self):
