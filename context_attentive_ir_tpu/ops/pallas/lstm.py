@@ -203,7 +203,22 @@ def lstm_pallas_reference(x_proj, mask, w_hh, reverse=False):
 
 
 def fused_supported(embed: int, hidden: int, batch: int) -> bool:
-    return embed % 128 == 0 and hidden % 128 == 0 and batch >= 8
+    # any embed dim (padded to the lane width internally); hidden must be
+    # lane-aligned (gate chunk boundaries)
+    del embed
+    return hidden % 128 == 0 and batch >= 8
+
+
+def _pad_embed(x, w_ih):
+    """Zero-pad the embedding axis to the 128-lane boundary (no-op when
+    aligned).  Zero rows of w_ih make the padding exact."""
+    E = x.shape[-1]
+    Ep = _round_up(E, 128)
+    if Ep == E:
+        return x, w_ih, E
+    x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, Ep - E),))
+    w_ih = jnp.pad(w_ih, ((0, Ep - E), (0, 0)))
+    return x, w_ih, E
 
 
 def _lstm_fused_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref, out_ref,
@@ -256,9 +271,10 @@ def _lstm_fused_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref, out_ref,
 def _lstm_fused_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
                      block_b: int = 512, time_chunk: int = 8,
                      interpret: bool = False):
+    x, w_ih, _E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
-    assert E % 128 == 0 and H % 128 == 0, "fused kernel needs 128-aligned dims"
+    assert H % 128 == 0, "fused kernel needs 128-aligned hidden"
     if B <= block_b:
         Bp = TB = _round_up(B, 16)
     else:
@@ -430,6 +446,7 @@ def _lstm_fused_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
                          block_b: int = 256, time_chunk: int = 4,
                          interpret: bool = False):
     """Forward returning (out, h_bnd, c_bnd) for the kernel backward."""
+    x, w_ih, _E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
     if B <= block_b:
@@ -492,6 +509,7 @@ def _lstm_fused_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
 def _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, dout,
                          reverse: bool = False, block_b: int = 256,
                          time_chunk: int = 4, interpret: bool = False):
+    x, w_ih, E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
     if B <= block_b:
@@ -562,8 +580,8 @@ def _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, dout,
         ],
         interpret=interpret,
     )(x2, mask_i, w_ih, b2, w_hh, w_ih.T, w_hh.T, hb, cb, dout2)
-    dx = dx.reshape(Bp, Tp, E)[:B, :T]
-    return (dx, dwih.astype(w_ih.dtype), db[0].astype(b.dtype),
+    dx = dx.reshape(Bp, Tp, E)[:B, :T, :E_orig]
+    return (dx, dwih[:E_orig].astype(w_ih.dtype), db[0].astype(b.dtype),
             dwhh.astype(w_hh.dtype))
 
 

@@ -153,3 +153,44 @@ def test_fused_backward_kernel_matches_scan_grads(reverse):
                                atol=3e-2, rtol=3e-3)
     np.testing.assert_allclose(np.asarray(dwhh), np.asarray(rwhh),
                                atol=3e-2, rtol=3e-3)
+
+
+def test_fused_kernel_unaligned_embed_dim():
+    """E=300 (GloVe dims): internal lane padding must be exact, fwd + bwd."""
+    from context_attentive_ir_tpu.ops.pallas.lstm import (
+        _lstm_fused_bwd_impl,
+        _lstm_fused_impl,
+        _lstm_fused_res_impl,
+        lstm_pallas_reference,
+    )
+
+    rng = np.random.RandomState(21)
+    b, t, e, h = 16, 5, 300, 128
+    x = jnp.asarray(rng.normal(size=(b, t, e)).astype(np.float32) * 0.3)
+    w_ih = jnp.asarray((rng.normal(size=(e, 4 * h)) * 0.1).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(4 * h,)) * 0.1).astype(np.float32))
+    w_hh = jnp.asarray((rng.normal(size=(h, 4 * h)) * 0.1).astype(np.float32))
+    mask = jnp.asarray(np.ones((b, t), bool))
+    g = jnp.asarray(rng.normal(size=(b, t, h)).astype(np.float32))
+
+    ref = lstm_pallas_reference(x @ w_ih + bias, mask, w_hh)
+    out = _lstm_fused_impl(x, mask, w_ih, bias, w_hh, block_b=16,
+                           time_chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=2e-3)
+
+    def fn(x, w_ih, bias, w_hh):
+        return lstm_pallas_reference(x @ w_ih + bias, mask, w_hh)
+
+    _, vjp = jax.vjp(fn, x, w_ih, bias, w_hh)
+    rx, rwih, rb, rwhh = vjp(g)
+    _, hb, cb = _lstm_fused_res_impl(x, mask, w_ih, bias, w_hh, block_b=16,
+                                     time_chunk=4, interpret=True)
+    dx, dwih, db, dwhh = _lstm_fused_bwd_impl(
+        x, mask, w_ih, bias, w_hh, hb, cb, g, block_b=16, time_chunk=4,
+        interpret=True)
+    assert dx.shape == x.shape and dwih.shape == w_ih.shape
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), atol=3e-3,
+                               rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(dwih), np.asarray(rwih),
+                               atol=3e-2, rtol=3e-3)
