@@ -20,13 +20,24 @@ ONE pallas_call:
   VPU; padded timesteps carry state through -- identical masking semantics
   to ``ops.rnn.lstm_scan`` (verified in tests/test_pallas_lstm.py).
 
-Alignment contract: H must be a multiple of 128 (the TPU lane width).  The
-framework's default ``nhid=128`` is chosen for exactly this (SURVEY.md SS7
-design stance); ``lstm_supported()`` gates dispatch so misaligned configs
-fall back to the scan.  The wrapper is differentiable via ``custom_vjp``
-whose backward replays the scan implementation (training correctness
-without a hand-written backward kernel; the forward kernel serves the
-inference/serving path).
+Two kernel families live here:
+
+1. ``lstm_pallas``: consumes precomputed gate projections (kept for tests
+   and as a building block; measured slower than the scan -- PERF.md).
+2. ``lstm_pallas_fused``: the production path.  Computes the input
+   projection INSIDE the kernel (weights + state VMEM-resident; the
+   [B, T, 4H] gate tensor never touches HBM) and is differentiable via a
+   chunked-rematerialization BACKWARD kernel (boundary states saved per
+   chunk, forward recomputed in-chunk, dW accumulated in VMEM-resident
+   output blocks).  Measured on v5e: forward 1.28x over the XLA
+   matmul+scan, training step +27% (PERF.md).
+
+Alignment contract: H (hidden) must be a multiple of 128 (gate chunk
+boundaries on the 128-lane registers) -- the framework default
+``nhid=128`` is chosen for exactly this (SURVEY.md SS7 design stance).
+The embedding dim may be anything (zero-padded to the lane width
+internally).  ``fused_supported()`` gates dispatch; unsupported shapes
+fall back to the ``lax.scan`` path in ``ops/rnn.py``.
 """
 
 from __future__ import annotations
