@@ -17,11 +17,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# reuse compiled programs across bench invocations (remote Mosaic compiles
+# take minutes cold; see PERF.md) -- must be set before jax initializes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(ROOT))
