@@ -84,10 +84,15 @@ class Engine:
         config, word_dict, _ = Checkpointer.peek(path)
         model = build_model(config)
         shapes = shapes_from_config(config)
-        dummy_session = Session("s", [Query("q", ["x"],
-                                            [Document("d", ["x"], 0)])])
-        batch = build_session_batch([dummy_session], word_dict, shapes,
-                                    batch_size=1)
+        dummy_q = Query("q", ["x"], [Document("d", ["x"], 0)])
+        if task_family(config.model_type) == "recommender":
+            from .data import build_suggest_batch
+
+            batch = build_suggest_batch([([dummy_q], dummy_q, dummy_q)],
+                                        word_dict, shapes, batch_size=1)
+        else:
+            batch = build_session_batch([Session("s", [dummy_q])],
+                                        word_dict, shapes, batch_size=1)
         state = create_train_state(model, config, batch, jax.random.key(0))
         state = Checkpointer.load(path, state)
         params = state.params

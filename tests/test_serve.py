@@ -102,3 +102,34 @@ def test_quantized_embedding_engine(trained_cars):
     assert np.isfinite(s8).all()
     np.testing.assert_allclose(s8, s32, atol=0.08, rtol=0.1)
     np.testing.assert_array_equal(np.argsort(-s8), np.argsort(-s32))
+
+
+def test_engine_recommender_family(tmp_path):
+    """Engine.suggest for the recommender family (seq2seq checkpoint)."""
+    from context_attentive_ir_tpu.data import build_dictionary, generate_sessions
+    from context_attentive_ir_tpu.data.objects import Session
+
+    sessions = [Session.from_dict(d)
+                for d in generate_sessions(n_sessions=8, n_candidates=4,
+                                           seed=13)]
+    for s in sessions:
+        s.queries = s.queries[:3]
+        for q in s.queries:
+            q.tokens = q.tokens[:6]
+            q.documents = q.documents[:4]
+            for d in q.documents:
+                d.tokens = d.tokens[:8]
+    streams = [q.tokens for s in sessions for q in s.queries]
+    word_dict = build_dictionary(streams)
+    cfg = default_config("seq2seq").replace(
+        vocab_size=len(word_dict), **{**DIMS, "num_candidates": 4})
+    run = RunConfig(model_dir=str(tmp_path), model_name="s2s", batch_size=8,
+                    test_batch_size=8, num_epochs=1, display_iter=100,
+                    async_checkpoint=False)
+    tr = Trainer(cfg, run, word_dict, use_mesh=False)
+    tr.fit(sessions, sessions)
+
+    eng = Engine.from_checkpoint(tr.ckpt.best_path, beam_size=2)
+    sugg = eng.suggest(["jazz guitar", "jazz guitar chord"])
+    assert len(sugg) == 2
+    assert all(isinstance(t, str) and np.isfinite(s) for t, s in sugg)
