@@ -224,18 +224,25 @@ class Engine:
             var, batch, method=self.model.decode_init)
         rows = memory.shape[0]
         max_len = self.shapes.max_target_len
+        kwargs = {}
+        if self.config.model_type == "acg":
+            # the copy mechanism scatters over the source tokens
+            kwargs = {"source": batch.source,
+                      "source_mask": batch.source_mask}
         if beam_size > 1:
             import jax.numpy as jnp
 
             rep = lambda x: jnp.repeat(x, beam_size, axis=0)
             mem_k, mask_k = rep(memory), rep(memory_mask)
+            kw_k = {k: rep(v) for k, v in kwargs.items()}
             step = lambda st, toks: self.model.apply(
-                var, st, toks, mem_k, mask_k, method=self.model.decode_step)
+                var, st, toks, mem_k, mask_k, method=self.model.decode_step,
+                **kw_k)
             return beam_search(step, state, rows, max_len, beam_size,
                                return_nbest=True)
         step = lambda st, toks: self.model.apply(
             var, st, toks, memory, memory_mask,
-            method=self.model.decode_step)
+            method=self.model.decode_step, **kwargs)
         seqs, scores = greedy_decode(step, state, rows, max_len)
         return seqs[:, None], scores[:, None]
 
