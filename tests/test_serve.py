@@ -106,6 +106,16 @@ def test_quantized_embedding_engine(trained_cars):
 
 def test_engine_recommender_family(tmp_path):
     """Engine.suggest for the recommender family (seq2seq checkpoint)."""
+    _run_recommender_engine(tmp_path, "seq2seq")
+
+
+def test_engine_acg_copy_path(tmp_path):
+    """Engine.suggest for ACG routes the copy-mechanism source through the
+    beam step."""
+    _run_recommender_engine(tmp_path, "acg")
+
+
+def _run_recommender_engine(tmp_path, model_type):
     from context_attentive_ir_tpu.data import build_dictionary, generate_sessions
     from context_attentive_ir_tpu.data.objects import Session
 
@@ -121,7 +131,7 @@ def test_engine_recommender_family(tmp_path):
                 d.tokens = d.tokens[:8]
     streams = [q.tokens for s in sessions for q in s.queries]
     word_dict = build_dictionary(streams)
-    cfg = default_config("seq2seq").replace(
+    cfg = default_config(model_type).replace(
         vocab_size=len(word_dict), **{**DIMS, "num_candidates": 4})
     run = RunConfig(model_dir=str(tmp_path), model_name="s2s", batch_size=8,
                     test_batch_size=8, num_epochs=1, display_iter=100,
