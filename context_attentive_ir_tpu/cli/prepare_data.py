@@ -18,7 +18,12 @@ import argparse
 import json
 from pathlib import Path
 
-from ..data import write_fixture, write_glove_fixture
+from ..data import (
+    ambiguous_vocab,
+    write_ambiguous_fixture,
+    write_fixture,
+    write_glove_fixture,
+)
 
 
 def cmd_synthetic(args):
@@ -26,11 +31,15 @@ def cmd_synthetic(args):
     out.mkdir(parents=True, exist_ok=True)
     splits = {"train": (args.n_train, 0), "dev": (args.n_dev, 1),
               "test": (args.n_test, 2)}
+    writer = (write_ambiguous_fixture if args.corpus == "ambiguous"
+              else write_fixture)
     for name, (n, seed) in splits.items():
-        path = write_fixture(out / f"{name}.jsonl", n_sessions=n,
-                             n_candidates=args.num_candidates, seed=seed)
+        path = writer(out / f"{name}.jsonl", n_sessions=n,
+                      n_candidates=args.num_candidates, seed=seed)
         print(f"wrote {path} ({n} sessions)")
-    glove = write_glove_fixture(out / "glove.txt", dim=args.glove_dim)
+    vocab = ambiguous_vocab() if args.corpus == "ambiguous" else None
+    glove = write_glove_fixture(out / "glove.txt", dim=args.glove_dim,
+                                vocab=vocab)
     print(f"wrote {glove}")
 
 
@@ -60,6 +69,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     syn = sub.add_parser("synthetic")
+    syn.add_argument("--corpus", choices=("topic", "ambiguous"),
+                     default="topic",
+                     help="topic: overlap-solvable; ambiguous: clicks "
+                          "decidable only from session history")
     syn.add_argument("--out_dir", default="data/synthetic")
     syn.add_argument("--n_train", type=int, default=2000)
     syn.add_argument("--n_dev", type=int, default=200)

@@ -8,7 +8,14 @@ from .dataset import BatchIterator, BucketedIterator
 from .dictionary import CharDictionary, Dictionary, build_dictionary
 from .loader import load_data, load_embedding_words, load_embeddings
 from .objects import Document, Query, Session
-from .synthetic import generate_sessions, write_fixture, write_glove_fixture
+from .synthetic import (
+    ambiguous_vocab,
+    generate_ambiguous_sessions,
+    generate_sessions,
+    write_ambiguous_fixture,
+    write_fixture,
+    write_glove_fixture,
+)
 from .vectorize import (
     RankBatch,
     SessionBatch,
@@ -33,7 +40,10 @@ __all__ = [
     "Document",
     "Query",
     "Session",
+    "ambiguous_vocab",
+    "generate_ambiguous_sessions",
     "generate_sessions",
+    "write_ambiguous_fixture",
     "write_fixture",
     "write_glove_fixture",
     "RankBatch",

@@ -92,14 +92,172 @@ def write_fixture(path: str | Path, **kwargs) -> Path:
     return path
 
 
-def write_glove_fixture(path: str | Path, dim: int = 32, seed: int = 1) -> Path:
-    """A tiny GloVe-format file over the synthetic topic vocabulary."""
+def write_glove_fixture(path: str | Path, dim: int = 32, seed: int = 1,
+                        vocab: list[str] | None = None) -> Path:
+    """A tiny GloVe-format file over the synthetic vocabulary.
+
+    ``vocab=None`` covers the topic-overlap corpus; pass
+    ``ambiguous_vocab()`` (or a union) for the discriminative corpus.
+    """
     rng = np.random.RandomState(seed)
-    vocab = sorted({w for t in TOPICS for w in t.split()})
+    if vocab is None:
+        vocab = sorted({w for t in TOPICS for w in t.split()})
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as f:
         for w in vocab:
             vec = rng.normal(size=(dim,)).astype(np.float32)
             f.write(w + " " + " ".join(f"{v:.5f}" for v in vec) + "\n")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Discriminative ("ambiguous") corpus
+# ---------------------------------------------------------------------------
+#
+# The topic-overlap corpus above is solvable by word overlap alone: round-1
+# RESULTS showed untrained ESM within 0.01 MAP of CARS, so it proves the
+# pipeline, not the model (VERDICT.md round 1, missing item #1).  This
+# second corpus is built so the clicked document is *conditionally*
+# relevant: it can only be identified from session history, never from the
+# current query alone.  It falsifies the paper's central claim (session
+# context improves ranking/suggestion, arXiv:1906.02329; SURVEY.md SS2.6).
+#
+# Construction, per word group k:
+#   AMB_k    -- 9 "ambiguous" words arranged into two query chains that
+#               share a 3-word middle segment:
+#                 chain_x = px m0 m1 m2 sx0 sx1
+#                 chain_y = py m0 m1 m2 sy0 sy1
+#   SENSE_kA / SENSE_kB -- disjoint sense vocabularies (documents only).
+#
+# A session draws (group k, sense s, chain c, key mode) and walks the
+# chain with 2-word sliding-window queries.  Every turn's slate holds:
+#   1 clicked doc    = query's ambiguous tokens + words from SENSE_s
+#   3 confuser docs  = the SAME query tokens    + words from SENSE_s'
+#   distractors      = random words from other groups.
+# Clicked and confusers overlap the query IDENTICALLY, and senses are
+# exactly balanced per group, so a session-blind ranker cannot beat the
+# random-tie ceiling (expected AP ~= 0.52 with 3 confusers) on ambiguous
+# turns.  The sense is revealed by session history only:
+#   query-keyed mode -- turn 0's query carries one SENSE_s word
+#                       (query-flow models can disambiguate later turns);
+#   click-keyed mode -- every query is ambiguous; only turn 0's *click*
+#                       reveals the sense (click-flow models only, i.e.
+#                       CARS but not M-NSRF).
+# Suggestion targets also need context: the next window after the shared
+# middle (m1,m2) is (m2,sx0) or (m2,sy0) depending on the chain, which
+# only turn 0's query reveals.
+#
+# Ideal MAPs (4-turn sessions, half of each mode): session-blind ~= 0.58,
+# query-flow-aware ~= 0.76, click-flow-aware ~= 0.94 -- the paper's
+# qualitative ladder (blind < M-NSRF < CARS), now falsifiable.
+
+N_GROUPS = 6
+N_SENSE_WORDS = 6
+N_CONFUSERS = 3
+_MIDDLE = 3  # shared-middle length; chains are 1 + _MIDDLE + 2 words long
+
+
+def _group_vocab(k: int) -> dict:
+    amb = [f"g{k}amb{i}" for i in range(9)]
+    return {
+        "chain_x": [amb[0], amb[2], amb[3], amb[4], amb[5], amb[6]],
+        "chain_y": [amb[1], amb[2], amb[3], amb[4], amb[7], amb[8]],
+        "amb": amb,
+        "sense": {
+            "a": [f"g{k}sa{i}" for i in range(N_SENSE_WORDS)],
+            "b": [f"g{k}sb{i}" for i in range(N_SENSE_WORDS)],
+        },
+    }
+
+
+def ambiguous_vocab(n_groups: int = N_GROUPS) -> list[str]:
+    """All words of the discriminative corpus (for GloVe fixtures)."""
+    out: list[str] = []
+    for k in range(n_groups):
+        g = _group_vocab(k)
+        out.extend(g["amb"])
+        out.extend(g["sense"]["a"])
+        out.extend(g["sense"]["b"])
+    return out
+
+
+def generate_ambiguous_sessions(
+    n_sessions: int = 64,
+    n_candidates: int = 10,
+    n_groups: int = N_GROUPS,
+    min_turns: int = 4,
+    max_turns: int = 5,
+    modes: tuple[str, ...] = ("query", "click"),
+    seed: int = 0,
+) -> list[dict]:
+    """Sessions where the click is decidable only from session history.
+
+    ``modes`` restricts the key modes generated (("query",) gives a corpus
+    learnable by any session-aware model; ("click",) requires click-flow).
+    Senses/groups/chains/modes are enumerated round-robin so the corpus is
+    exactly balanced and a blind model cannot exploit priors.
+    """
+    rng = np.random.RandomState(seed)
+    groups = [_group_vocab(k) for k in range(n_groups)]
+    combos = [(k, s, c, m)
+              for k in range(n_groups)
+              for s in ("a", "b")
+              for c in ("chain_x", "chain_y")
+              for m in modes]
+    sessions = []
+    for i in range(n_sessions):
+        k, sense, chain_name, mode = combos[i % len(combos)]
+        g = groups[k]
+        chain = g[chain_name]
+        own = g["sense"][sense]
+        other = g["sense"]["b" if sense == "a" else "a"]
+        n_turns = int(rng.randint(min_turns, max_turns + 1))
+        n_turns = min(n_turns, len(chain) - 1)
+        queries = []
+        for t in range(n_turns):
+            amb_tokens = [chain[t], chain[t + 1]]
+            q_tokens = list(amb_tokens)
+            if mode == "query" and t == 0:
+                q_tokens.append(own[rng.randint(len(own))])
+            # clicked doc: full query tokens + fresh own-sense words
+            own_rest = [w for w in own if w not in q_tokens]
+            clicked = q_tokens + list(
+                rng.choice(own_rest, size=2, replace=False))
+            cands = [(clicked, 1)]
+            # confusers: the ambiguous tokens + other-sense words (same
+            # overlap with the query as the clicked doc on ambiguous turns)
+            for _ in range(N_CONFUSERS):
+                conf = amb_tokens + list(
+                    rng.choice(other, size=2, replace=False))
+                cands.append((conf, 0))
+            # distractors: words from other groups
+            for _ in range(n_candidates - 1 - N_CONFUSERS):
+                ok = int(rng.randint(n_groups - 1))
+                ok = ok if ok < k else ok + 1
+                og = groups[ok]
+                pool = og["amb"] + og["sense"]["a"] + og["sense"]["b"]
+                d = list(rng.choice(pool, size=4, replace=False))
+                cands.append((d, 0))
+            order = rng.permutation(len(cands))
+            queries.append({
+                "id": f"q{i}_{t}",
+                "text": " ".join(q_tokens),
+                "candidates": [
+                    {"id": f"d{i}_{t}_{j}",
+                     "title": " ".join(cands[j][0]),
+                     "label": cands[j][1]}
+                    for j in order
+                ],
+            })
+        sessions.append({"session_id": f"as{i}", "query": queries})
+    return sessions
+
+
+def write_ambiguous_fixture(path: str | Path, **kwargs) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for sess in generate_ambiguous_sessions(**kwargs):
+            f.write(json.dumps(sess) + "\n")
     return path

@@ -26,18 +26,26 @@ from context_attentive_ir_tpu.config import (  # noqa: E402
     default_config,
 )
 from context_attentive_ir_tpu.data import (  # noqa: E402
+    ambiguous_vocab,
     build_dictionary,
     load_data,
     load_embeddings,
+    write_ambiguous_fixture,
     write_fixture,
     write_glove_fixture,
 )
 from context_attentive_ir_tpu.train import Trainer  # noqa: E402
 from context_attentive_ir_tpu.utils import format_table, setup_logging  # noqa: E402
 
+# topic corpus: solvable by overlap (pipeline proof).  ambiguous corpus:
+# clicks decidable only from session history (capability proof; VERDICT r1
+# #1) -- tighter shapes because its queries/docs are short by construction.
 DIMS = dict(emsize=64, nhid=64, nhid_ffnn=128, nfilters=32,
             max_query_len=10, max_doc_len=12, max_session_len=4,
             num_candidates=10, compute_dtype="bfloat16")
+AMBIG_DIMS = dict(emsize=64, nhid=64, nhid_ffnn=128, nfilters=32,
+                  max_query_len=4, max_doc_len=6, max_session_len=5,
+                  num_candidates=50, compute_dtype="bfloat16")
 
 
 def main():
@@ -45,21 +53,38 @@ def main():
     ap.add_argument("--out", default=str(ROOT / "RESULTS.md"))
     ap.add_argument("--data_dir", default="/tmp/suite_data")
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--corpus", choices=("topic", "ambiguous"),
+                    default="ambiguous")
+    ap.add_argument("--num_candidates", type=int, default=0,
+                    help="override slate size (0 = corpus default)")
     ap.add_argument("--models", default=",".join(
         RANKERS + RECOMMENDERS + MULTITASK))
     args = ap.parse_args()
     setup_logging()
 
     data = Path(args.data_dir)
-    write_fixture(data / "train.jsonl", n_sessions=1000, n_candidates=10,
-                  seed=0)
-    write_fixture(data / "dev.jsonl", n_sessions=150, n_candidates=10,
-                  seed=1)
-    write_fixture(data / "test.jsonl", n_sessions=150, n_candidates=10,
-                  seed=2)
-    glove = write_glove_fixture(data / "glove.txt", dim=DIMS["emsize"])
-
-    base = default_config("cars").replace(**DIMS)
+    dims = dict(AMBIG_DIMS if args.corpus == "ambiguous" else DIMS)
+    if args.num_candidates:
+        dims["num_candidates"] = args.num_candidates
+    n_cand = dims["num_candidates"]
+    if args.corpus == "ambiguous":
+        write_ambiguous_fixture(data / "train.jsonl", n_sessions=960,
+                                n_candidates=n_cand, seed=0)
+        write_ambiguous_fixture(data / "dev.jsonl", n_sessions=144,
+                                n_candidates=n_cand, seed=1)
+        write_ambiguous_fixture(data / "test.jsonl", n_sessions=192,
+                                n_candidates=n_cand, seed=2)
+        glove = write_glove_fixture(data / "glove.txt", dim=dims["emsize"],
+                                    vocab=ambiguous_vocab())
+    else:
+        write_fixture(data / "train.jsonl", n_sessions=1000,
+                      n_candidates=n_cand, seed=0)
+        write_fixture(data / "dev.jsonl", n_sessions=150,
+                      n_candidates=n_cand, seed=1)
+        write_fixture(data / "test.jsonl", n_sessions=150,
+                      n_candidates=n_cand, seed=2)
+        glove = write_glove_fixture(data / "glove.txt", dim=dims["emsize"])
+    base = default_config("cars").replace(**dims)
     load = lambda p: load_data(p, base.max_query_len, base.max_doc_len,
                                base.num_candidates, base.max_session_len)
     train, dev, test = (load(data / f"{s}.jsonl")
@@ -84,14 +109,20 @@ def main():
             print(f"== {model_type} cached: {done[model_type]}", flush=True)
             continue
         cfg = default_config(model_type).replace(
-            vocab_size=len(word_dict), **DIMS)
+            vocab_size=len(word_dict), **dims)
         fam = ("ranker" if model_type in RANKERS else
                "recommender" if model_type in RECOMMENDERS else "multitask")
+        # multitask models on the ambiguous corpus cross the tie-ceiling
+        # plateau only after ~300-600 steps (tests/test_discriminative.py),
+        # so they get a longer budget and patience there
+        epochs, early = args.epochs, 3
+        if args.corpus == "ambiguous" and fam == "multitask":
+            epochs, early = max(args.epochs, 24), 12
         run = RunConfig(
             model_dir=str(data / "runs"), model_name=model_type,
             batch_size=32, test_batch_size=32,
-            num_epochs=1 if model_type == "esm" else args.epochs,
-            display_iter=1000, early_stop=3,
+            num_epochs=1 if model_type == "esm" else epochs,
+            display_iter=1000, early_stop=early,
             valid_metric="map" if fam != "recommender" else "bleu-1",
             beam_size=1 if fam == "ranker" else 3, seed=1013)
         t0 = time.time()
@@ -115,12 +146,13 @@ def main():
     cols = ["model", "map", "mrr", "ndcg@3", "bleu-1", "bleu-4",
             "rouge-l", "f1", "min"]
     norm = [{c: r.get(c, "") for c in cols} for r in rows]
-    md = ["# RESULTS — synthetic-corpus model zoo run",
+    md = [f"# RESULTS — {args.corpus}-corpus model zoo run",
           "",
-          "1000/150/150 train/dev/test sessions, slate=10, shared vocab +",
-          f"fixture GloVe ({DIMS['emsize']}-d), bf16, {args.epochs} epochs",
-          "max, early stop 3, beam 3 for suggestion models. Ranking",
-          "metrics for rankers/multitask; BLEU/ROUGE for",
+          f"train/dev/test sessions at slate={dims['num_candidates']}, "
+          "shared vocab +",
+          f"fixture GloVe ({dims['emsize']}-d), bf16, {args.epochs} epochs",
+          "max (24 for multitask on ambiguous), beam 3 for suggestion",
+          "models. Ranking metrics for rankers/multitask; BLEU/ROUGE for",
           "recommenders/multitask. Times include jit compiles.",
           "", "```", format_table(norm, "test results"), "```", ""]
     Path(args.out).write_text("\n".join(md))
