@@ -150,6 +150,12 @@ class RunConfig:
     seed: int = 1013
     beam_size: int = 1            # >1 enables beam search at eval
     max_decode_len: int = 0       # 0 -> max_query_len + 1
+    # beam penalties (reference translator/penalties.py parity, SS2.7)
+    beam_alpha: float = 0.6       # length-penalty strength
+    beam_length_penalty: str = "wu"      # 'wu' | 'avg' | 'none'
+    beam_coverage_beta: float = 0.0      # 0 disables coverage penalty
+    beam_coverage_penalty: str = "wu"    # 'wu' | 'summary'
+    min_decode_len: int = 0       # forbid EOS before this many tokens
     resume: bool = False          # resume from <name>.mdl.checkpoint
     pretrained_path: str = ""     # warm-start from another run's best
     only_test: bool = False

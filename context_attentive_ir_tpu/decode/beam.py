@@ -22,8 +22,11 @@ import jax.numpy as jnp
 
 from ..constants import BOS, EOS, PAD
 from ..ops.masking import NEG_INF
+from .penalties import COVERAGE_PENALTIES, LENGTH_PENALTIES
 
-StepFn = Callable[..., tuple]  # (state, tokens [B*K]) -> (state, logp [B*K, V])
+# (state, tokens [B*K]) -> (state, logp [B*K, V]) or
+#                          (state, logp [B*K, V], attn [B*K, L])
+StepFn = Callable[..., tuple]
 
 
 def _tile_beam(tree, beam_size: int):
@@ -47,17 +50,30 @@ def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
 
 def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
                 beam_size: int = 5, alpha: float = 0.6,
-                vocab_size: int | None = None, return_nbest: bool = False):
+                vocab_size: int | None = None, return_nbest: bool = False,
+                min_length: int = 0, length_penalty: str = "wu",
+                coverage_beta: float = 0.0, coverage_penalty: str = "wu",
+                cov_mask: jnp.ndarray | None = None):
     """Returns (best tokens [B, max_len], best score [B]); with
     ``return_nbest`` instead returns the full beams ([B, K, max_len],
     [B, K]) sorted by normalized score -- the reference beam's n-best
     output (SURVEY.md SS2.7).
 
     ``step_fn`` operates on a flattened ``[B*K]`` beam batch;
-    ``init_state`` holds ``[B, ...]`` leaves and is tiled here.
+    ``init_state`` holds ``[B, ...]`` leaves and is tiled here.  It may
+    return ``(state, logp)`` or ``(state, logp, attn [B*K, L])``; with
+    attention exposed and ``coverage_beta > 0``, accumulated coverage is
+    penalized at ranking time (reference penalties.py parity).
+    ``cov_mask [B, L]`` marks real source positions for the coverage term.
+    ``min_length`` forbids EOS before that many real tokens.
     """
     B, K = batch_size, beam_size
     state = _tile_beam(init_state, K)
+
+    # probe the step signature once at trace time (XLA dead-code-eliminates
+    # the unused probe computation)
+    probe = step_fn(state, jnp.full((B * K,), BOS, jnp.int32))
+    has_attn = len(probe) == 3
 
     tokens = jnp.full((B, K), BOS, jnp.int32)
     # only beam 0 is live initially so the first top-k doesn't pick K copies
@@ -67,13 +83,19 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     seqs = jnp.full((B, K, max_len), PAD, jnp.int32)
 
     def body(carry, t):
-        state, tokens, logps, finished, lengths, seqs = carry
-        state, logp = step_fn(state, tokens.reshape(B * K))
+        state, tokens, logps, finished, lengths, seqs, cov = carry
+        out = step_fn(state, tokens.reshape(B * K))
+        state, logp = out[0], out[1]
         V = logp.shape[-1]
         logp = logp.reshape(B, K, V)
         # frozen beams: only PAD continues, at zero cost
         pad_only = jnp.full((V,), NEG_INF).at[PAD].set(0.0)
         logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+        if min_length > 0:
+            block_eos = (jnp.arange(V) == EOS)[None, None, :] & (
+                t < min_length)
+            logp = jnp.where(block_eos & ~finished[..., None], NEG_INF,
+                             logp)
         total = logps[..., None] + logp                       # [B, K, V]
         flat = total.reshape(B, K * V)
         top_logp, top_idx = jax.lax.top_k(flat, K)            # [B, K]
@@ -88,14 +110,28 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
         lengths_n = lengths_p + still.astype(jnp.int32)
         finished_n = finished_p | (tok == EOS)
         seqs_n = seqs_p.at[:, :, t].set(jnp.where(still, tok, PAD))
-        return (state, tok, top_logp, finished_n, lengths_n, seqs_n), None
+        if cov is not None:
+            attn = out[2].reshape(B, K, -1)
+            cov_p = jnp.take_along_axis(cov, parent[..., None], axis=1)
+            cov = cov_p + attn * still[..., None].astype(attn.dtype)
+        return (state, tok, top_logp, finished_n, lengths_n, seqs_n,
+                cov), None
 
-    carry = (state, tokens, logps, finished, lengths, seqs)
-    (state, tokens, logps, finished, lengths, seqs), _ = jax.lax.scan(
+    cov0 = None
+    if has_attn and coverage_beta > 0:
+        cov0 = jnp.zeros((B, K, probe[2].shape[-1]), jnp.float32)
+    carry = (state, tokens, logps, finished, lengths, seqs, cov0)
+    (state, tokens, logps, finished, lengths, seqs, cov), _ = jax.lax.scan(
         body, carry, jnp.arange(max_len))
 
     # rank by length-normalized score; prefer finished hypotheses
-    norm = logps / length_penalty(jnp.maximum(lengths, 1), alpha)
+    lp = LENGTH_PENALTIES[length_penalty]
+    norm = logps / lp(jnp.maximum(lengths, 1), alpha)
+    if cov is not None:
+        cp = COVERAGE_PENALTIES[coverage_penalty]
+        mask = (jnp.ones(cov.shape[-1], bool)[None, None, :]
+                if cov_mask is None else cov_mask[:, None, :])
+        norm = norm + cp(cov, mask, coverage_beta)
     ranked = norm + finished.astype(norm.dtype) * 1e4
     if return_nbest:
         order = jnp.argsort(-ranked, axis=-1)                 # [B, K]

@@ -24,7 +24,8 @@ def greedy_decode(step_fn: StepFn, init_state, batch_size: int,
 
     def body(carry, _):
         state, tokens, finished, total = carry
-        state, logp = step_fn(state, tokens)
+        out = step_fn(state, tokens)
+        state, logp = out[0], out[1]   # step may also return attention
         next_tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         step_lp = jnp.max(logp, axis=-1)
         next_tok = jnp.where(finished, PAD, next_tok)

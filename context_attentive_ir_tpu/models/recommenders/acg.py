@@ -90,6 +90,6 @@ class ACG(nn.Module):
                                                  memory_mask)
         if source is None:
             logits = self.generator(attn_h, self.embeddings)
-            return state, jax.nn.log_softmax(logits, axis=-1)
+            return state, jax.nn.log_softmax(logits, axis=-1), align
         probs = self._mix(attn_h, align, source, source_mask)
-        return state, jnp.log(jnp.maximum(probs, 1e-10))
+        return state, jnp.log(jnp.maximum(probs, 1e-10)), align

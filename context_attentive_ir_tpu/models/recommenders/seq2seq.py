@@ -68,7 +68,7 @@ class Seq2seq(nn.Module):
 
     def decode_step(self, state, tokens, memory, memory_mask):
         emb_t = self.embeddings(tokens, True)
-        state, attn_h, _ = self.decoder.step(state, emb_t, memory,
-                                             memory_mask)
+        state, attn_h, align = self.decoder.step(state, emb_t, memory,
+                                                  memory_mask)
         logits = self.generator(attn_h, self.embeddings)
-        return state, jax.nn.log_softmax(logits, axis=-1)
+        return state, jax.nn.log_softmax(logits, axis=-1), align

@@ -30,14 +30,23 @@ from ..models import task_family
 
 
 def build_decode_fn(model, config: ModelConfig, beam_size: int = 1,
-                    max_len: Optional[int] = None):
+                    max_len: Optional[int] = None,
+                    run: Optional["object"] = None):
     """Returns jitted ``decode(params, batch) -> token ids [rows, T]``.
 
     rows = B for recommenders, B*S for multitask models (their
-    ``decode_init`` flattens the session axis).
+    ``decode_init`` flattens the session axis).  ``run`` (a RunConfig)
+    supplies beam penalty knobs; defaults match the reference beam.
     """
     max_len = max_len or (config.max_query_len + 1)
     is_acg = config.model_type == "acg"
+    beam_kw = {}
+    if run is not None:
+        beam_kw = dict(alpha=run.beam_alpha,
+                       length_penalty=run.beam_length_penalty,
+                       coverage_beta=run.beam_coverage_beta,
+                       coverage_penalty=run.beam_coverage_penalty,
+                       min_length=run.min_decode_len)
 
     def decode(params, batch):
         var = {"params": params}
@@ -55,7 +64,8 @@ def build_decode_fn(model, config: ModelConfig, beam_size: int = 1,
             step = lambda st, toks: model.apply(
                 var, st, toks, mem_k, mask_k, method=model.decode_step,
                 **kw_k)
-            seqs, _ = beam_search(step, state, rows, max_len, beam_size)
+            seqs, _ = beam_search(step, state, rows, max_len, beam_size,
+                                  cov_mask=memory_mask, **beam_kw)
         else:
             step = lambda st, toks: model.apply(
                 var, st, toks, memory, memory_mask,

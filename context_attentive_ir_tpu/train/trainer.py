@@ -124,7 +124,7 @@ class Trainer:
         if family in ("recommender", "multitask"):
             self.decode_fn = build_decode_fn(
                 self.model, config, run.beam_size,
-                run.max_decode_len or None)
+                run.max_decode_len or None, run=run)
         self.ckpt = Checkpointer(run.model_dir, run.model_name,
                                  run.async_checkpoint,
                                  backend=run.checkpoint_backend)

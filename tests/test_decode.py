@@ -95,3 +95,88 @@ def test_finished_beams_frozen():
     t = np.asarray(toks)[0]
     assert t[0] == EOS or t[0] == PAD
     assert (t[1:] == PAD).all()
+
+
+def test_min_length_blocks_early_eos():
+    """min_length forbids EOS until that many tokens were emitted."""
+    table = np.full((V, V), 1e-9, np.float32)
+    table[BOS, EOS] = 0.9      # wants to stop immediately
+    table[BOS, 4] = 0.1
+    table[4, EOS] = 0.6
+    table[4, 5] = 0.4
+    table[5, EOS] = 0.9
+    table[EOS, EOS] = 1.0
+    table /= table.sum(-1, keepdims=True)
+    step = make_step(table)
+    toks0, _ = beam_search(step, (), 1, 5, beam_size=2, min_length=0)
+    toks2, _ = beam_search(step, (), 1, 5, beam_size=2, min_length=2)
+    assert np.asarray(toks0)[0, 0] == EOS
+    t = np.asarray(toks2)[0]
+    assert t[0] != EOS and t[1] != EOS     # two real tokens first
+    assert EOS in t.tolist()
+
+
+def test_length_penalty_variants():
+    from context_attentive_ir_tpu.decode.penalties import (
+        length_average,
+        length_none,
+        length_wu,
+    )
+
+    lens = jnp.asarray([1, 5, 10])
+    np.testing.assert_allclose(np.asarray(length_none(lens)), [1, 1, 1])
+    np.testing.assert_allclose(np.asarray(length_average(lens)),
+                               [1, 5, 10])
+    np.testing.assert_allclose(np.asarray(length_wu(lens, 1.0)),
+                               [1.0, 10 / 6, 15 / 6], rtol=1e-6)
+    # alpha=0 -> no normalization
+    np.testing.assert_allclose(np.asarray(length_wu(lens, 0.0)), [1, 1, 1])
+
+
+def test_coverage_penalty_values():
+    from context_attentive_ir_tpu.decode.penalties import (
+        coverage_summary,
+        coverage_wu,
+    )
+
+    cov = jnp.asarray([[1.0, 0.5, 2.0]])
+    mask = jnp.asarray([[True, True, False]])  # last position is padding
+    # wu: beta * (log min(1,1) + log min(.5,1)) = beta * log(0.5)
+    np.testing.assert_allclose(np.asarray(coverage_wu(cov, mask, 2.0)),
+                               [2.0 * np.log(0.5)], rtol=1e-6)
+    # summary: -beta * ((max(1,1) + max(.5,1)) - 2) = 0
+    np.testing.assert_allclose(
+        np.asarray(coverage_summary(cov, mask, 2.0)), [0.0], atol=1e-6)
+    cov2 = jnp.asarray([[1.5, 1.0, 9.0]])
+    np.testing.assert_allclose(
+        np.asarray(coverage_summary(cov2, mask, 2.0)), [-1.0], rtol=1e-6)
+
+
+def test_beam_coverage_reranks():
+    """With attention exposed, the coverage penalty demotes hypotheses
+    that ignore source positions."""
+    table = np.full((V, V), 1e-9, np.float32)
+    # two near-equal paths: a->EOS and b->EOS
+    table[BOS, 4] = 0.51
+    table[BOS, 5] = 0.49
+    table[4, EOS] = 0.9
+    table[5, EOS] = 0.9
+    table[EOS, EOS] = 1.0
+    table /= table.sum(-1, keepdims=True)
+    logp = jnp.log(jnp.asarray(table))
+    L = 3
+
+    def step(state, tokens):
+        # token 'a' attends only position 0; 'b' spreads attention
+        focused = jnp.asarray([1.0, 0.0, 0.0])
+        spread = jnp.asarray([1 / 3, 1 / 3, 1 / 3])
+        attn = jnp.where((tokens == 4)[:, None], focused, spread)
+        return state, logp[tokens], attn
+
+    cov_mask = jnp.ones((1, L), bool)
+    t0, _ = beam_search(step, (), 1, 4, beam_size=3, alpha=0.0,
+                        coverage_beta=0.0, cov_mask=cov_mask)
+    t1, _ = beam_search(step, (), 1, 4, beam_size=3, alpha=0.0,
+                        coverage_beta=5.0, cov_mask=cov_mask)
+    assert np.asarray(t0)[0, 0] == 4   # raw logprob prefers 'a'
+    assert np.asarray(t1)[0, 0] == 5   # coverage prefers spread attention
