@@ -127,12 +127,17 @@ def test_checkpoint_override_args(data, tmp_path):
     assert merged.learning_rate == 0.123        # runtime overridden
 
 
-def test_data_parallel_matches_single_device(data):
+# dssm: plain ranker; cars: session scans + causal context attention +
+# click-flow (the most batch-dim-sensitive semantics); hredqs: recommender
+# family (hierarchical encoder + decoder) -- VERDICT r1 #7 asked for
+# equivalence beyond DSSM
+@pytest.mark.parametrize("model_type", ["dssm", "cars", "hredqs"])
+def test_data_parallel_matches_single_device(model_type, data):
     """DP over an 8-device mesh must produce the same losses as 1 device
     (exercises the pjit path on forced CPU devices, SURVEY.md SS4)."""
     sessions, word_dict = data
     assert len(jax.devices()) >= 8, "conftest must force 8 cpu devices"
-    cfg = default_config("dssm").replace(
+    cfg = default_config(model_type).replace(
         vocab_size=len(word_dict), learning_rate=1e-2, **DIMS)
     model = build_model(cfg)
     it = make_iterator(sessions, cfg, word_dict, batch_size=8,
