@@ -94,6 +94,10 @@ class ModelConfig:
     # shape qualifies (TPU backend, emsize/nhid 128-aligned); training and
     # unaligned shapes always use the lax.scan path
     use_pallas_rnn: bool = True
+    # dispatch query-aware slate attention pooling to the fused Pallas
+    # kernel (ops/pallas/slate.py) on TPU when features are 128-aligned;
+    # CPU / unaligned shapes use the XLA einsum path
+    use_pallas_slate: bool = True
     # serving-only: int8 per-row embedding table -- halves table memory
     # (use for very large vocabularies), costs ~20% lookup latency at
     # V=50k (PERF.md); enable via Engine.from_checkpoint(

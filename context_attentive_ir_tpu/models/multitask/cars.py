@@ -58,16 +58,22 @@ class CARS(nn.Module):
         self._h2 = cfg.nhid * (2 if cfg.bidirection else 1)
         h2 = self._h2
         self.embeddings = make_embeddings(cfg, self.pretrained)
+        # encoder inputs arrive lane-padded (Embeddings.lookup_padded), so
+        # unaligned GloVe dims (E=300) hit the fused kernels pad-free;
+        # in_features keeps checkpoint shapes at the logical emsize
         self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                         cfg.bidirection, cfg.dropout_rnn,
                                         dtype=dt,
-                   use_pallas=cfg.use_pallas_rnn)
+                                        use_pallas=cfg.use_pallas_rnn,
+                                        in_features=cfg.emsize)
         self.doc_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                       cfg.bidirection, cfg.dropout_rnn,
                                       dtype=dt,
-                   use_pallas=cfg.use_pallas_rnn)
+                                      use_pallas=cfg.use_pallas_rnn,
+                                      in_features=cfg.emsize)
         self.query_pool = AttentionPool(h2, dtype=dt)
-        self.doc_pool = AttentionPool(h2, dtype=dt)
+        self.doc_pool = AttentionPool(h2, dtype=dt,
+                                      use_pallas=cfg.use_pallas_slate)
         self.query_flow = RNNLayer(h2, cfg.session_rnn_type,
                                    bidirectional=False, dtype=dt)
         self.click_flow = RNNLayer(h2, cfg.session_rnn_type,
@@ -103,7 +109,7 @@ class CARS(nn.Module):
         """
         lead = docs.shape[:-1]
         Ld = docs.shape[-1]
-        d = self.embeddings(docs, deterministic)
+        d = self.embeddings.lookup_padded(docs, deterministic)
         d_states, _ = self.doc_encoder(
             d.reshape((-1, Ld) + d.shape[-1:]),
             doc_mask.reshape(-1, Ld), deterministic)
@@ -113,7 +119,7 @@ class CARS(nn.Module):
                        deterministic: bool = True,
                        d_states: jnp.ndarray | None = None):
         B, S, Lq = batch.query.shape
-        q = self.embeddings(batch.query, deterministic)
+        q = self.embeddings.lookup_padded(batch.query, deterministic)
 
         q_states, _ = self.query_encoder(
             q.reshape(B * S, Lq, -1), batch.query_mask.reshape(B * S, Lq),

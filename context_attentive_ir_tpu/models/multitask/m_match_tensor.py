@@ -44,11 +44,13 @@ class MMatchTensor(nn.Module):
         self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                         cfg.bidirection, cfg.dropout_rnn,
                                         dtype=dt,
-                   use_pallas=cfg.use_pallas_rnn)
+                   use_pallas=cfg.use_pallas_rnn,
+                   in_features=cfg.emsize)
         self.doc_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                       cfg.bidirection, cfg.dropout_rnn,
                                       dtype=dt,
-                   use_pallas=cfg.use_pallas_rnn)
+                   use_pallas=cfg.use_pallas_rnn,
+                   in_features=cfg.emsize)
         self.q_proj = nn.Dense(cfg.nfilters, dtype=dt)
         self.d_proj = nn.Dense(cfg.nfilters, dtype=dt)
         self.conv0 = nn.Conv(cfg.nfilters, kernel_size=(3, 3),
@@ -74,8 +76,8 @@ class MMatchTensor(nn.Module):
         B, S, Lq = batch.query.shape
         _, _, N, Ld = batch.docs.shape
         C = cfg.nfilters
-        q = self.embeddings(batch.query, deterministic)
-        d = self.embeddings(batch.docs, deterministic)
+        q = self.embeddings.lookup_padded(batch.query, deterministic)
+        d = self.embeddings.lookup_padded(batch.docs, deterministic)
 
         q_states, _ = self.query_encoder(
             q.reshape(B * S, Lq, -1), batch.query_mask.reshape(B * S, Lq),

@@ -50,11 +50,13 @@ class MNSRF(nn.Module):
         self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                         cfg.bidirection, cfg.dropout_rnn,
                                         dtype=dt,
-                   use_pallas=cfg.use_pallas_rnn)
+                   use_pallas=cfg.use_pallas_rnn,
+                   in_features=cfg.emsize)
         self.doc_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                       cfg.bidirection, cfg.dropout_rnn,
                                       dtype=dt,
-                   use_pallas=cfg.use_pallas_rnn)
+                   use_pallas=cfg.use_pallas_rnn,
+                   in_features=cfg.emsize)
         self.session_rnn = RNNLayer(self._h2, cfg.session_rnn_type,
                                     bidirectional=False, dtype=dt)
         self.rank_mlp = MLP((cfg.nhid_ffnn, 1), activation=jnp.tanh,
@@ -74,8 +76,8 @@ class MNSRF(nn.Module):
                        deterministic: bool = True):
         B, S, Lq = batch.query.shape
         _, _, N, Ld = batch.docs.shape
-        q = self.embeddings(batch.query, deterministic)
-        d = self.embeddings(batch.docs, deterministic)
+        q = self.embeddings.lookup_padded(batch.query, deterministic)
+        d = self.embeddings.lookup_padded(batch.docs, deterministic)
 
         q_states, _ = self.query_encoder(
             q.reshape(B * S, Lq, -1), batch.query_mask.reshape(B * S, Lq),

@@ -38,8 +38,8 @@ class MatchTensor(nn.Module):
         cfg = self.config
         dt = compute_dtype(cfg)
         emb = make_embeddings(cfg, self.pretrained)
-        q = emb(batch.query, deterministic)                 # [B, Lq, E]
-        d = emb(batch.docs, deterministic)                  # [B, N, Ld, E]
+        q = emb.lookup_padded(batch.query, deterministic)
+        d = emb.lookup_padded(batch.docs, deterministic)
         B, N, Ld, E = d.shape
         Lq = q.shape[1]
         C = cfg.nfilters
@@ -47,11 +47,13 @@ class MatchTensor(nn.Module):
         q_enc = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                            cfg.bidirection, cfg.dropout_rnn, dtype=dt,
                            name="query_encoder",
-                   use_pallas=cfg.use_pallas_rnn)
+                   use_pallas=cfg.use_pallas_rnn,
+                   in_features=cfg.emsize)
         d_enc = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                            cfg.bidirection, cfg.dropout_rnn, dtype=dt,
                            name="doc_encoder",
-                   use_pallas=cfg.use_pallas_rnn)
+                   use_pallas=cfg.use_pallas_rnn,
+                   in_features=cfg.emsize)
         qs, _ = q_enc(q, batch.query_mask, deterministic)   # [B, Lq, H2]
         ds, _ = d_enc(d.reshape(B * N, Ld, E),
                       batch.doc_mask.reshape(B * N, Ld),

@@ -40,7 +40,8 @@ class ACG(nn.Module):
         self.embeddings = make_embeddings(cfg, self.pretrained)
         self.encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                   cfg.bidirection, cfg.dropout_rnn, dtype=dt,
-                   use_pallas=cfg.use_pallas_rnn)
+                   use_pallas=cfg.use_pallas_rnn,
+                   in_features=cfg.emsize)
         h2 = cfg.nhid * (2 if cfg.bidirection else 1)
         self.decoder = AttnLSTMDecoder(features=h2, embed_dim=cfg.emsize,
                                        num_layers=cfg.nlayers,
@@ -63,7 +64,7 @@ class ACG(nn.Module):
         return (1.0 - p_copy) * gen + p_copy * copy
 
     def encode(self, batch: SuggestBatch, deterministic: bool = True):
-        src = self.embeddings(batch.source, deterministic)
+        src = self.embeddings.lookup_padded(batch.source, deterministic)
         memory, final = self.encoder(src, batch.source_mask, deterministic)
         return memory, batch.source_mask, final
 

@@ -47,7 +47,8 @@ class HredQS(nn.Module):
         self.query_encoder = RNNEncoder(cfg.nhid, cfg.nlayers, cfg.rnn_type,
                                         cfg.bidirection, cfg.dropout_rnn,
                                         dtype=dt,
-                   use_pallas=cfg.use_pallas_rnn)
+                   use_pallas=cfg.use_pallas_rnn,
+                   in_features=cfg.emsize)
         h2 = cfg.nhid * (2 if cfg.bidirection else 1)
         self.session_rnn = RNNLayer(h2, cfg.session_rnn_type,
                                     bidirectional=False, dtype=dt)
@@ -60,7 +61,8 @@ class HredQS(nn.Module):
 
     def encode(self, batch: SuggestBatch, deterministic: bool = True):
         B, S, Lq = batch.context.shape
-        ctx = self.embeddings(batch.context, deterministic)   # [B, S, Lq, E]
+        ctx = self.embeddings.lookup_padded(batch.context,
+                                            deterministic)   # [B, S, Lq, E]
         flat = ctx.reshape(B * S, Lq, -1)
         flat_mask = batch.context_mask.reshape(B * S, Lq)
         _, qvec = self.query_encoder(flat, flat_mask, deterministic)

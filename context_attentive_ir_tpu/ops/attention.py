@@ -11,7 +11,9 @@ XLA maps straight onto the MXU; no per-query loops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .masking import masked_softmax
@@ -73,20 +75,52 @@ class AttentionPool(nn.Module):
 
     Optionally conditioned on an external query vector (used by the CARS
     document encoder's query-aware pooling, SURVEY.md SS2.6).
+
+    ``use_pallas=True`` dispatches the query-conditioned form to the fused
+    slate-interaction kernel (``ops/pallas/slate.py``) on TPU when the
+    feature dim is 128-aligned: the token states stream through VMEM once
+    instead of XLA's ~3 HBM passes.  The unconditioned (learned-vector)
+    form and CPU/unaligned shapes use the einsum path below.
     """
 
     dim: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    def _pallas_ok(self, states: jnp.ndarray, query) -> bool:
+        if not (self.use_pallas and query is not None):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if states.shape[-1] != self.dim:
+            return False
+        from .pallas.slate import pool_supported
+
+        rows = int(np.prod(states.shape[:-2]))
+        return pool_supported(self.dim, rows)
 
     @nn.compact
     def __call__(self, states: jnp.ndarray, mask: jnp.ndarray,
                  query: jnp.ndarray | None = None):
         """states [..., T, H], mask [..., T], query [..., H] -> [..., H]."""
-        h = nn.Dense(self.dim, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="proj")(
-                         states.astype(self.dtype))
-        h = jnp.tanh(h)
+        D = states.shape[-1]
+        w_p = self.param("proj_kernel", nn.initializers.glorot_uniform(),
+                         (D, self.dim), self.param_dtype)
+        b_p = self.param("proj_bias", nn.initializers.zeros,
+                         (self.dim,), self.param_dtype)
+        s = states.astype(self.dtype)
+        wp_c = w_p.astype(self.dtype)
+        bp_c = b_p.astype(self.dtype)
+        if self._pallas_ok(states, query):
+            from .pallas.slate import attn_pool_pallas
+
+            lead, T = states.shape[:-2], states.shape[-2]
+            out = attn_pool_pallas(
+                s.reshape(-1, T, D), mask.reshape(-1, T),
+                query.astype(self.dtype).reshape(-1, D), wp_c, bp_c)
+            return out.reshape(lead + (D,))
+        h = jnp.tanh(s @ wp_c + bp_c)
         if query is not None:
             scores = jnp.einsum("...th,...h->...t", h,
                                 query.astype(self.dtype))
@@ -96,4 +130,4 @@ class AttentionPool(nn.Module):
             scores = jnp.einsum("...th,ho->...t", h,
                                 v.astype(self.dtype))
         align = masked_softmax(scores, mask, axis=-1)
-        return jnp.einsum("...t,...th->...h", align, states.astype(self.dtype))
+        return jnp.einsum("...t,...th->...h", align, s)

@@ -78,6 +78,36 @@ class Embeddings(nn.Module):
             out = self.drop(out, deterministic=deterministic)
         return out
 
+    def lookup_padded(self, ids: jnp.ndarray,
+                      deterministic: bool = True) -> jnp.ndarray:
+        """Rows from a lane-padded table: [..., ceil128(E)] with zero tail.
+
+        RNN-encoder feeds use this so unaligned embedding dims (GloVe's
+        E=300) reach the fused Pallas kernels without a huge
+        ``[B, T, E] -> [B, T, Ep]`` activation pad copy: the pad happens
+        once on the [V, E] table (tiny next to the gather) and the gather
+        emits aligned rows directly (PERF.md round-1 "pad copy eats the
+        win" fix).  Encoders zero-pad their (small) ``w_ih`` to match --
+        see ``ops.rnn.RNNLayer.in_features`` -- so the math is exact.
+        No-op (plain ``__call__``) when E is already 128-aligned.
+        """
+        ep = -(-self.features // 128) * 128
+        # sub-lane tables (tiny test/debug models) gain nothing from
+        # alignment; only pad real model dims (GloVe 300 -> 384)
+        if ep == self.features or self.features < 128:
+            return self(ids, deterministic)
+        if self.quantized:
+            # quantized tables gather-then-scale per row; pad the gathered
+            # rows (keeps the int8 table compact -- serving memory option)
+            out = self(ids, deterministic)
+            return jnp.pad(out, ((0, 0),) * (out.ndim - 1)
+                           + ((0, ep - self.features),))
+        t = jnp.pad(self._table(), ((0, 0), (0, ep - self.features)))
+        out = jnp.take(t, ids, axis=0)
+        if self.dropout > 0:
+            out = self.drop(out, deterministic=deterministic)
+        return out
+
     def attend(self, h: jnp.ndarray) -> jnp.ndarray:
         """Tied-generator logits: ``h [..., E] @ table.T -> [..., V]``."""
         return h @ self._table().T

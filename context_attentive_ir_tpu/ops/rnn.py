@@ -106,27 +106,40 @@ class RNNLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # logical input width when x arrives lane-padded from
+    # Embeddings.lookup_padded: w_ih is declared [in_features, G] and its
+    # (tiny) zero row-pad happens at use, instead of padding the (huge)
+    # activation -- checkpoint shapes stay independent of TPU alignment
+    in_features: Optional[int] = None
 
     def _pallas_ok(self, x: jnp.ndarray, h0, deterministic: bool) -> bool:
-        # Training uses the kernel too: its custom_vjp backward is the
-        # chunked-remat kernel (measured faster than the scan fwd+bwd on
-        # TPU, PERF.md).
-        del deterministic
-        if not (self.use_pallas and h0 is None and self.rnn_type == "lstm"):
+        if not (self.use_pallas and h0 is None):
             return False
         if jax.default_backend() != "tpu":
             return False
-        # only the fused (projection-in-kernel) variant beats the XLA scan
-        # (PERF.md); otherwise the scan path is the fast one
-        from .pallas.lstm import fused_supported
+        if self.rnn_type == "lstm":
+            # LSTM training uses the kernel too: its custom_vjp backward is
+            # the chunked-remat kernel (measured faster than the scan
+            # fwd+bwd on TPU, PERF.md).
+            from .pallas.lstm import fused_supported
 
-        return fused_supported(x.shape[-1], self.features, x.shape[0])
+            return fused_supported(x.shape[-1], self.features, x.shape[0])
+        if self.rnn_type == "gru" and deterministic:
+            # The GRU kernel has no backward kernel (its custom_vjp replays
+            # the scan), so dispatch it only on inference passes; training
+            # keeps the scan path whose autodiff is the fast option.
+            from .pallas.gru import gru_fused_supported
+
+            return gru_fused_supported(x.shape[-1], self.features,
+                                       x.shape[0])
+        return False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
                  h0: Optional[jnp.ndarray] = None,
                  deterministic: bool = True):
-        B, T, D = x.shape
+        B, T, D_in = x.shape
+        D = self.in_features or D_in
         H = self.features
         n_gates = 4 if self.rnn_type == "lstm" else 3
         dirs = ["fwd", "bwd"] if self.bidirectional else ["fwd"]
@@ -135,6 +148,9 @@ class RNNLayer(nn.Module):
         for d in dirs:
             w_ih = self.param(f"w_ih_{d}", nn.initializers.glorot_uniform(),
                               (D, n_gates * H), self.param_dtype)
+            if D_in != D:
+                # lane-padded input (zero tail): zero rows keep it exact
+                w_ih = jnp.pad(w_ih, ((0, D_in - D), (0, 0)))
             w_hh = self.param(f"w_hh_{d}", nn.initializers.orthogonal(),
                               (H, n_gates * H), self.param_dtype)
             b_ih = self.param(f"b_ih_{d}", nn.initializers.zeros,
@@ -166,10 +182,26 @@ class RNNLayer(nn.Module):
             else:
                 b_hh = self.param(f"b_hh_{d}", nn.initializers.zeros,
                                   (n_gates * H,), self.param_dtype)
-                x_proj = x @ w_ih.astype(self.dtype) + b_ih.astype(self.dtype)
-                o, hT = gru_scan(x_proj, mask, w_hh.astype(self.dtype),
-                                 b_hh.astype(self.dtype), h_init,
-                                 reverse=(d == "bwd"))
+                if self._pallas_ok(x, h0, deterministic):
+                    from .pallas.gru import gru_pallas_fused
+
+                    o = gru_pallas_fused(
+                        x, mask, w_ih.astype(self.dtype),
+                        b_ih.astype(self.dtype), w_hh.astype(self.dtype),
+                        b_hh.astype(self.dtype), d == "bwd")
+                    if d == "bwd":
+                        hT = o[:, 0]
+                    else:
+                        last = jnp.maximum(
+                            jnp.sum(mask.astype(jnp.int32), -1) - 1, 0)
+                        hT = jnp.take_along_axis(
+                            o, last[:, None, None], axis=1)[:, 0]
+                else:
+                    x_proj = (x @ w_ih.astype(self.dtype)
+                              + b_ih.astype(self.dtype))
+                    o, hT = gru_scan(x_proj, mask, w_hh.astype(self.dtype),
+                                     b_hh.astype(self.dtype), h_init,
+                                     reverse=(d == "bwd"))
             outs.append(o)
             finals.append(hT)
         out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
@@ -193,6 +225,7 @@ class RNNEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    in_features: Optional[int] = None  # see RNNLayer.in_features
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -206,6 +239,7 @@ class RNNEncoder(nn.Module):
             out, final = RNNLayer(
                 self.features, self.rnn_type, self.bidirectional,
                 self.dtype, self.param_dtype, self.use_pallas,
+                in_features=self.in_features if layer == 0 else None,
                 name=f"layer{layer}")(out, mask,
                                       deterministic=deterministic)
         return out, final

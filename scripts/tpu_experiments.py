@@ -1,0 +1,260 @@
+"""On-chip perf experiments (run ONE at a time; see PERF.md discipline).
+
+Usage:  JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu \
+            python scripts/tpu_experiments.py <exp> [...]
+
+Experiments (each prints a JSON line per variant; ledger goes to PERF.md):
+  lstm_sweep    tile-tune the fused LSTM fwd kernel (VERDICT r1 item #5)
+  lstm_bwd_sweep  tile-tune the chunked-remat backward pair
+  gather        embedding-gather layout experiments (VERDICT r1 item #2)
+  pool          fused slate-pool kernel vs the XLA einsum path
+  suggest       where beam-5 decode time goes
+  gru           fused GRU kernel vs scan at bench shapes
+
+Every timing fences with jax.device_get (block_until_ready returns early
+under the axon tunnel, CLAUDE.md).  Budget ONE compile per variant; cold
+remote Mosaic compiles are minutes each.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# bench shapes (doc-encoder view): rows = B*S*N
+ROWS, T, E, H = 64 * 5 * 50, 30, 256, 128
+VOCAB = 50_000
+
+
+def timed(fn, *args, warmup=2, iters=10):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, ms, **kw):
+    print(json.dumps({"exp": name, "ms": round(ms * 1e3, 3), **kw}),
+          flush=True)
+
+
+def _lstm_inputs(dtype=jnp.bfloat16, rows=ROWS, t=T, e=E, h=H):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(rows, t, e)) * 0.3, dtype)
+    w_ih = jnp.asarray(rng.normal(size=(e, 4 * h)) * 0.1, dtype)
+    b = jnp.asarray(rng.normal(size=(4 * h,)) * 0.1, dtype)
+    w_hh = jnp.asarray(rng.normal(size=(h, 4 * h)) * 0.1, dtype)
+    mask = jnp.ones((rows, t), bool)
+    return x, mask, w_ih, b, w_hh
+
+
+def lstm_sweep(variants=None):
+    from context_attentive_ir_tpu.ops.pallas.lstm import _lstm_fused_impl
+
+    x, mask, w_ih, b, w_hh = _lstm_inputs()
+    variants = variants or [(8, 512), (6, 512), (10, 512), (8, 256),
+                            (15, 512), (8, 1024)]
+    for tc, bb in variants:
+        fn = functools.partial(_lstm_fused_impl, reverse=False,
+                               block_b=bb, time_chunk=tc)
+        ms = timed(fn, x, mask, w_ih, b, w_hh)
+        report("lstm_fwd", ms, time_chunk=tc, block_b=bb)
+
+
+def lstm_bwd_sweep(variants=None):
+    from context_attentive_ir_tpu.ops.pallas.lstm import (
+        _lstm_fused_bwd_impl,
+        _lstm_fused_res_impl,
+    )
+
+    x, mask, w_ih, b, w_hh = _lstm_inputs()
+    g = jnp.ones((ROWS, T, H), jnp.bfloat16)
+    variants = variants or [(4, 256), (6, 256), (8, 256), (4, 512)]
+    for tc, bb in variants:
+        res = functools.partial(_lstm_fused_res_impl, reverse=False,
+                                block_b=bb, time_chunk=tc)
+        ms_f = timed(res, x, mask, w_ih, b, w_hh)
+        _, hb, cb = res(x, mask, w_ih, b, w_hh)
+
+        def bwd(x, mask, w_ih, b, w_hh, hb, cb, g, _tc=tc, _bb=bb):
+            return _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, g,
+                                        reverse=False, block_b=_bb,
+                                        time_chunk=_tc)
+
+        ms_b = timed(bwd, x, mask, w_ih, b, w_hh, hb, cb, g)
+        report("lstm_res+bwd", ms_f + ms_b, fwd_ms=round(ms_f * 1e3, 3),
+               bwd_ms=round(ms_b * 1e3, 3), time_chunk=tc, block_b=bb)
+
+
+def gather():
+    rng = np.random.RandomState(0)
+    n_ids = ROWS * T
+    ids = jnp.asarray(rng.randint(4, VOCAB, size=(n_ids,)), jnp.int32)
+
+    def take(table, ids):
+        return jnp.take(table, ids, axis=0)
+
+    for name, e_dim, dtype in [
+            ("bf16_e256", 256, jnp.bfloat16),
+            ("bf16_e300", 300, jnp.bfloat16),
+            ("bf16_e384pad", 384, jnp.bfloat16),
+            ("bf16_e512", 512, jnp.bfloat16),
+            ("f32_e256", 256, jnp.float32),
+    ]:
+        table = jnp.asarray(rng.normal(size=(VOCAB, e_dim)), dtype)
+        ms = timed(jax.jit(take), table, ids)
+        gb = n_ids * e_dim * table.dtype.itemsize / 1e9
+        report(f"gather_{name}", ms, rows=n_ids,
+               eff_gbps=round(gb / ms, 1))
+
+    # gather+pad (current E=300 kernel path) vs gather-from-padded-table
+    table300 = jnp.asarray(rng.normal(size=(VOCAB, 300)), jnp.bfloat16)
+
+    @jax.jit
+    def gather_then_pad(table, ids):
+        x = jnp.take(table, ids, axis=0)
+        return jnp.pad(x, ((0, 0), (0, 84)))
+
+    ms = timed(gather_then_pad, table300, ids)
+    report("gather_e300_then_pad_x", ms, rows=n_ids)
+
+    @jax.jit
+    def pad_table_then_gather(table, ids):
+        tp = jnp.pad(table, ((0, 0), (0, 84)))
+        return jnp.take(tp, ids, axis=0)
+
+    ms = timed(pad_table_then_gather, table300, ids)
+    report("gather_e300_padtable", ms, rows=n_ids)
+
+    # sequential full-table read for scale (what a dense pass would cost)
+    @jax.jit
+    def table_sum(table):
+        return jnp.sum(table.astype(jnp.float32))
+
+    ms = timed(table_sum, table300)
+    report("table_full_read", ms)
+
+
+def pool():
+    from context_attentive_ir_tpu.ops.pallas.slate import (
+        _pool_fused_impl,
+        attn_pool_pallas,
+        attn_pool_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    h2 = 2 * H
+    states = jnp.asarray(rng.normal(size=(ROWS, T, h2)) * 0.5, jnp.bfloat16)
+    mask = jnp.ones((ROWS, T), bool)
+    query = jnp.asarray(rng.normal(size=(ROWS, h2)) * 0.5, jnp.bfloat16)
+    w_p = jnp.asarray(rng.normal(size=(h2, h2)) * 0.1, jnp.bfloat16)
+    b_p = jnp.asarray(rng.normal(size=(h2,)) * 0.1, jnp.bfloat16)
+
+    ms = timed(jax.jit(attn_pool_reference), states, mask, query, w_p, b_p)
+    report("pool_xla", ms)
+    for br in (128, 256, 512):
+        fn = functools.partial(_pool_fused_impl, block_r=br)
+        ms = timed(fn, states, mask, query, w_p, b_p)
+        report("pool_pallas", ms, block_r=br)
+    # parity on-chip
+    out_k = jax.device_get(jax.jit(attn_pool_pallas)(states, mask, query,
+                                                     w_p, b_p))
+    out_r = jax.device_get(jax.jit(attn_pool_reference)(states, mask,
+                                                        query, w_p, b_p))
+    err = float(np.max(np.abs(out_k.astype(np.float32)
+                              - out_r.astype(np.float32))))
+    report("pool_parity", 0.0, max_abs_err=err)
+
+
+def gru():
+    from context_attentive_ir_tpu.ops.pallas.gru import (
+        _gru_fused_impl,
+        gru_pallas_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(ROWS, T, E)) * 0.3, jnp.bfloat16)
+    w_ih = jnp.asarray(rng.normal(size=(E, 3 * H)) * 0.1, jnp.bfloat16)
+    b_ih = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
+    w_hh = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.1, jnp.bfloat16)
+    b_hh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
+    mask = jnp.ones((ROWS, T), bool)
+    ms = timed(jax.jit(gru_pallas_reference), x, mask, w_ih, b_ih, w_hh,
+               b_hh)
+    report("gru_scan", ms)
+    ms = timed(functools.partial(_gru_fused_impl, block_b=512,
+                                 time_chunk=8), x, mask, w_ih, b_ih, w_hh,
+               b_hh)
+    report("gru_pallas", ms, time_chunk=8, block_b=512)
+    out_k = jax.device_get(_gru_fused_impl(x, mask, w_ih, b_ih, w_hh, b_hh))
+    out_r = jax.device_get(jax.jit(gru_pallas_reference)(
+        x, mask, w_ih, b_ih, w_hh, b_hh))
+    err = float(np.max(np.abs(out_k.astype(np.float32)
+                              - out_r.astype(np.float32))))
+    report("gru_parity", 0.0, max_abs_err=err)
+
+
+def suggest():
+    """Decompose beam-5 decode: init vs full; beam width scaling."""
+    sys.path.insert(0, str(ROOT))
+    import bench as bench_mod
+
+    _, model, params, batch = bench_mod._build_cars(True)
+
+    @jax.jit
+    def init_only(params, batch):
+        return model.apply({"params": params}, batch,
+                           method=model.decode_init)
+
+    ms = timed(init_only, params, batch)
+    report("decode_init", ms)
+
+    from context_attentive_ir_tpu.decode import beam_search, greedy_decode
+
+    def mk(beam):
+        @jax.jit
+        def run(params, batch):
+            var = {"params": params}
+            state, memory, memory_mask = model.apply(
+                var, batch, method=model.decode_init)
+            rows = memory.shape[0]
+            if beam == 1:
+                step = lambda st, toks: model.apply(
+                    var, st, toks, memory, memory_mask,
+                    method=model.decode_step)
+                return greedy_decode(step, state, rows, 16)
+            rep = lambda v: jnp.repeat(v, beam, axis=0)
+            mem_k, mask_k = rep(memory), rep(memory_mask)
+            step = lambda st, toks: model.apply(
+                var, st, toks, mem_k, mask_k, method=model.decode_step)
+            return beam_search(step, state, rows, 16, beam)
+        return run
+
+    for beam in (1, 5):
+        ms = timed(mk(beam), params, batch, warmup=2, iters=10)
+        report("decode_full", ms, beam=beam,
+               qps=round(64 * 5 / ms, 1))
+
+
+if __name__ == "__main__":
+    exp = sys.argv[1] if len(sys.argv) > 1 else "pool"
+    {"lstm_sweep": lstm_sweep, "lstm_bwd_sweep": lstm_bwd_sweep,
+     "gather": gather, "pool": pool, "suggest": suggest,
+     "gru": gru}[exp]()

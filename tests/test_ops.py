@@ -150,3 +150,36 @@ def test_decoder_teacher_forcing_and_step_agree():
     np.testing.assert_allclose(np.asarray(manual(params)), np.asarray(outs),
                                atol=1e-5)
     del V
+
+
+def test_embeddings_lookup_padded_exact():
+    """Lane-padded lookup (E=300 -> 384) == plain lookup + zero tail, and
+    an RNNLayer fed the padded rows with in_features=300 matches the
+    unpadded path exactly (ops/layers.Embeddings.lookup_padded)."""
+    import jax
+
+    from context_attentive_ir_tpu.ops.layers import Embeddings
+    from context_attentive_ir_tpu.ops.rnn import RNNLayer
+
+    rng = np.random.RandomState(0)
+    V, E, B, T, H = 50, 300, 4, 5, 128
+    ids = jnp.asarray(rng.randint(0, V, size=(B, T)), jnp.int32)
+    emb = Embeddings(V, E)
+    p = emb.init(jax.random.key(0), ids)
+    plain = emb.apply(p, ids)
+    padded = emb.apply(p, ids, method=Embeddings.lookup_padded)
+    assert padded.shape == (B, T, 384)
+    np.testing.assert_allclose(np.asarray(padded[..., :E]),
+                               np.asarray(plain), atol=0)
+    assert np.all(np.asarray(padded[..., E:]) == 0)
+
+    mask = jnp.asarray(np.ones((B, T), bool))
+    layer = RNNLayer(features=H)
+    layer_p = RNNLayer(features=H, in_features=E)
+    params = layer.init(jax.random.key(1), plain, mask)
+    out_plain, fin_plain = layer.apply(params, plain, mask)
+    out_pad, fin_pad = layer_p.apply(params, padded, mask)
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_plain),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fin_pad), np.asarray(fin_plain),
+                               atol=1e-6)
