@@ -85,7 +85,9 @@ def _build_cars(use_pallas: bool, b=B, s=S, n=N, vocab=VOCAB):
         vocab_size=vocab, emsize=EMSIZE, nhid=NHID,
         max_query_len=LQ, max_doc_len=LD, max_session_len=s,
         num_candidates=n, compute_dtype="bfloat16",
-        use_pallas_rnn=use_pallas, use_pallas_slate=use_pallas,
+        # slate kernel stays at its default (off): measured slower than
+        # XLA on v5e (PERF.md round-2 ledger)
+        use_pallas_rnn=use_pallas,
         dropout=0.0, dropout_emb=0.0, dropout_rnn=0.0)
     model = build_model(cfg)
     batch = jax.device_put(_random_session_batch(np.random.RandomState(0),
@@ -374,8 +376,8 @@ def main():
                    "query_len": LQ, "doc_len": LD, "emsize": EMSIZE,
                    "nhid": NHID, "vocab": VOCAB, "beam": BEAM},
         "dtype": "bfloat16",
-        "pallas_fused_lstm": True,
-        "pallas_fused_slate_pool": True,
+        "pallas_fused_lstm": "auto (scan above ~6k-row crossover)",
+        "pallas_fused_slate_pool": False,
         "model": "cars.score (session-aware slate reranking) + "
                  "cars.decode (beam-5 suggestion)",
     }

@@ -95,9 +95,10 @@ class ModelConfig:
     # unaligned shapes always use the lax.scan path
     use_pallas_rnn: bool = True
     # dispatch query-aware slate attention pooling to the fused Pallas
-    # kernel (ops/pallas/slate.py) on TPU when features are 128-aligned;
-    # CPU / unaligned shapes use the XLA einsum path
-    use_pallas_slate: bool = True
+    # kernel (ops/pallas/slate.py).  Default OFF: measured on v5e the
+    # kernel loses to XLA (pool cost is intrinsic tanh/VPU work, not HBM
+    # traffic -- PERF.md round-2 ledger); kept as a parity-tested option.
+    use_pallas_slate: bool = False
     # serving-only: int8 per-row embedding table -- halves table memory
     # (use for very large vocabularies), costs ~20% lookup latency at
     # V=50k (PERF.md); enable via Engine.from_checkpoint(

@@ -6,11 +6,18 @@ n-best output (SURVEY.md SS2.7, marker ``exp:`` for
 query-suggestion decoder (with beam search)").
 
 TPU-first redesign (SURVEY.md SS7 hard part (b)): beam state is a PyTree of
-static-shape arrays ``[B*K, ...]``; each step is (expand -> top-k over K*V
--> gather), all static shapes; beam reordering is a ``jnp.take`` over the
-flattened beam axis applied uniformly to the whole decoder-state pytree.
-Finished beams are frozen by forcing PAD continuations with zero added
-log-prob.  GNMT length penalty ``((5+len)/6)^alpha`` ranks hypotheses.
+static-shape arrays ``[B*K, ...]``; each step is (per-beam top-(K+1) over
+the raw scores -> combine over [B, K*(K+1)] -> gather), all static shapes;
+beam reordering is a ``jnp.take`` over the flattened beam axis applied
+uniformly to the whole decoder-state pytree.  Finished beams are frozen by
+forcing PAD continuations with zero added log-prob.  GNMT length penalty
+``((5+len)/6)^alpha`` ranks hypotheses.
+
+Step functions may return RAW logits: normalization happens in-loop via a
+single logsumexp reduction applied to the per-beam top values (an exact,
+rank-preserving shift), so no ``[B*K, V]`` log-softmax or masked
+``[B, K, V]`` total is ever materialized -- measured 5x cheaper per beam
+step than the flat ``top_k(K*V)`` formulation on v5e (PERF.md round-2).
 """
 
 from __future__ import annotations
@@ -85,22 +92,36 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     def body(carry, t):
         state, tokens, logps, finished, lengths, seqs, cov = carry
         out = step_fn(state, tokens.reshape(B * K))
-        state, logp = out[0], out[1]
-        V = logp.shape[-1]
-        logp = logp.reshape(B, K, V)
-        # frozen beams: only PAD continues, at zero cost
-        pad_only = jnp.full((V,), NEG_INF).at[PAD].set(0.0)
-        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+        state, scores = out[0], out[1]
+        V = scores.shape[-1]
+        # Per-beam top-(K+1) FIRST, then all beam logic on [B, K, K+1]
+        # arrays: the flat [B, K*V] top-k and the full-vocab masking
+        # passes were ~85% of measured beam step time on TPU (PERF.md
+        # round-2 ledger).  Exact: any flat-top-K winner is within its
+        # beam's top-(K+1) even with the (single) EOS token blocked, and
+        # normalization is a rank-preserving shift applied afterwards via
+        # logsumexp -- so step functions may return RAW logits (already-
+        # normalized log-probs also work; their logsumexp is ~0).
+        Kc = min(K + 1, V)
+        scores32 = scores.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(scores32, axis=-1,
+                                          keepdims=True)      # [B*K, 1]
+        t1, i1 = jax.lax.top_k(scores32, Kc)                  # [B*K, Kc]
+        logp_top = (t1 - lse).reshape(B, K, Kc)
+        i1 = i1.reshape(B, K, Kc).astype(jnp.int32)
+        # frozen beams: single live continuation (PAD at zero cost)
+        pad_row = jnp.full((Kc,), NEG_INF).at[0].set(0.0)
+        logp_top = jnp.where(finished[..., None],
+                             pad_row[None, None, :], logp_top)
+        i1 = jnp.where(finished[..., None], PAD, i1)
         if min_length > 0:
-            block_eos = (jnp.arange(V) == EOS)[None, None, :] & (
-                t < min_length)
-            logp = jnp.where(block_eos & ~finished[..., None], NEG_INF,
-                             logp)
-        total = logps[..., None] + logp                       # [B, K, V]
-        flat = total.reshape(B, K * V)
+            block = (i1 == EOS) & (t < min_length) & ~finished[..., None]
+            logp_top = jnp.where(block, NEG_INF, logp_top)
+        total = logps[..., None] + logp_top                   # [B, K, Kc]
+        flat = total.reshape(B, K * Kc)
         top_logp, top_idx = jax.lax.top_k(flat, K)            # [B, K]
-        parent = top_idx // V
-        tok = (top_idx % V).astype(jnp.int32)
+        parent = top_idx // Kc
+        tok = jnp.take_along_axis(i1.reshape(B, K * Kc), top_idx, axis=1)
         state = _gather_beams(state, parent, B, K)
         take = lambda x: jnp.take_along_axis(x, parent, axis=1)
         finished_p = take(finished)

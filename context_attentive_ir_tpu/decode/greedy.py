@@ -27,7 +27,12 @@ def greedy_decode(step_fn: StepFn, init_state, batch_size: int,
         out = step_fn(state, tokens)
         state, logp = out[0], out[1]   # step may also return attention
         next_tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-        step_lp = jnp.max(logp, axis=-1)
+        # steps may return raw logits (see decode/beam.py): normalize the
+        # accumulated score with one logsumexp reduction (a no-op shift,
+        # ~0, when the step already returns log-probs)
+        lse = jax.scipy.special.logsumexp(
+            logp.astype(jnp.float32), axis=-1)
+        step_lp = jnp.max(logp, axis=-1).astype(jnp.float32) - lse
         next_tok = jnp.where(finished, PAD, next_tok)
         total = total + jnp.where(finished, 0.0, step_lp)
         finished = finished | (next_tok == EOS)

@@ -115,9 +115,19 @@ class CARS(nn.Module):
             doc_mask.reshape(-1, Ld), deterministic)
         return d_states.reshape(lead + d_states.shape[-2:])
 
+    def encode_docs_proj(self, d_states: jnp.ndarray) -> jnp.ndarray:
+        """Query-independent half of the doc pooling: tanh(W_p d + b_p).
+
+        Like ``encode_docs`` this is cacheable per corpus (serve.py
+        DocIndex): at query time the pooled vector then costs only
+        score + softmax + weighted-sum (PERF.md round-2 ledger).
+        """
+        return self.doc_pool(d_states, proj_only=True)
+
     def encode_session(self, batch: SessionBatch,
                        deterministic: bool = True,
-                       d_states: jnp.ndarray | None = None):
+                       d_states: jnp.ndarray | None = None,
+                       d_proj: jnp.ndarray | None = None):
         B, S, Lq = batch.query.shape
         q = self.embeddings.lookup_padded(batch.query, deterministic)
 
@@ -135,7 +145,8 @@ class CARS(nn.Module):
         dv = self.doc_pool(d_states, batch.doc_mask,
                            jnp.broadcast_to(qv[:, :, None, :],
                                             d_states.shape[:3]
-                                            + (qv.shape[-1],)))  # [B,S,N,H2]
+                                            + (qv.shape[-1],)),
+                           proj_states=d_proj)                  # [B,S,N,H2]
 
         # query-flow recurrence over turns
         sq, _ = self.query_flow(qv, batch.turn_mask)           # [B, S, H2]
@@ -213,11 +224,15 @@ class CARS(nn.Module):
     # -- inference -----------------------------------------------------------
 
     def score(self, batch: SessionBatch,
-              d_states: jnp.ndarray | None = None):
+              d_states: jnp.ndarray | None = None,
+              d_proj: jnp.ndarray | None = None):
         """Slate scores; pass precomputed ``d_states`` (from
-        ``encode_docs``) to skip document encoding entirely."""
+        ``encode_docs``) to skip document encoding entirely, and
+        ``d_proj`` (from ``encode_docs_proj``) to also skip the pooling
+        projection."""
         _, qv, dv, sq, sc = self.encode_session(batch, True,
-                                                d_states=d_states)
+                                                d_states=d_states,
+                                                d_proj=d_proj)
         q_ctx = self.context_attend(qv, sq, sc, batch.turn_mask)
         return self.rank_scores(q_ctx, dv)
 
@@ -234,4 +249,5 @@ class CARS(nn.Module):
         state, attn_h, align = self.decoder.step(state, emb_t, memory,
                                                   memory_mask)
         logits = self.generator(attn_h, self.embeddings)
-        return state, jax.nn.log_softmax(logits, axis=-1), align
+        # raw logits: greedy/beam normalize internally (decode/beam.py)
+        return state, logits, align

@@ -138,7 +138,8 @@ class MNSRF(nn.Module):
         state, attn_h, align = self.decoder.step(state, emb_t, memory,
                                                   memory_mask)
         logits = self.generator(attn_h, self.embeddings)
-        return state, jax.nn.log_softmax(logits, axis=-1), align
+        # raw logits: greedy/beam normalize internally (decode/beam.py)
+        return state, logits, align
 
     def score(self, batch: SessionBatch):
         qv, dv, sess = self.encode_session(batch, True)

@@ -90,7 +90,10 @@ class ACG(nn.Module):
         state, attn_h, align = self.decoder.step(state, emb_t, memory,
                                                  memory_mask)
         if source is None:
+            # raw logits: greedy/beam normalize internally (decode/beam.py)
             logits = self.generator(attn_h, self.embeddings)
-            return state, jax.nn.log_softmax(logits, axis=-1), align
+            return state, logits, align
+        # copy path: already-normalized log-probs (the mixture sums to 1;
+        # the decoder-side logsumexp shift is then ~0, still exact)
         probs = self._mix(attn_h, align, source, source_mask)
         return state, jnp.log(jnp.maximum(probs, 1e-10)), align

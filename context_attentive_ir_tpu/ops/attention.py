@@ -78,9 +78,16 @@ class AttentionPool(nn.Module):
 
     ``use_pallas=True`` dispatches the query-conditioned form to the fused
     slate-interaction kernel (``ops/pallas/slate.py``) on TPU when the
-    feature dim is 128-aligned: the token states stream through VMEM once
-    instead of XLA's ~3 HBM passes.  The unconditioned (learned-vector)
-    form and CPU/unaligned shapes use the einsum path below.
+    feature dim is 128-aligned.  Measured on v5e the kernel LOSES to XLA
+    (the cost is intrinsic tanh/VPU work, not HBM traffic -- PERF.md
+    round-2 ledger), so it defaults off; it is kept correct and
+    parity-tested as the second kernel family's measured negative result.
+
+    The serving-relevant decomposition instead: ``tanh(states @ W_p +
+    b_p)`` does not depend on the query, so cached-document ranking
+    precomputes it per corpus (``proj_only=True`` at index time,
+    ``proj_states=...`` at query time) and pays only score + softmax +
+    weighted-sum per request (serve.py DocIndex).
     """
 
     dim: int
@@ -101,9 +108,17 @@ class AttentionPool(nn.Module):
         return pool_supported(self.dim, rows)
 
     @nn.compact
-    def __call__(self, states: jnp.ndarray, mask: jnp.ndarray,
-                 query: jnp.ndarray | None = None):
-        """states [..., T, H], mask [..., T], query [..., H] -> [..., H]."""
+    def __call__(self, states: jnp.ndarray, mask: jnp.ndarray | None = None,
+                 query: jnp.ndarray | None = None,
+                 proj_states: jnp.ndarray | None = None,
+                 proj_only: bool = False):
+        """states [..., T, H], mask [..., T], query [..., H] -> [..., H].
+
+        ``proj_only=True``: return the query-independent projection
+        ``tanh(states @ W_p + b_p)`` (for doc-index caching).
+        ``proj_states``: reuse such a cached projection, skipping the
+        matmul + tanh.
+        """
         D = states.shape[-1]
         w_p = self.param("proj_kernel", nn.initializers.glorot_uniform(),
                          (D, self.dim), self.param_dtype)
@@ -112,7 +127,9 @@ class AttentionPool(nn.Module):
         s = states.astype(self.dtype)
         wp_c = w_p.astype(self.dtype)
         bp_c = b_p.astype(self.dtype)
-        if self._pallas_ok(states, query):
+        if proj_only:
+            return jnp.tanh(s @ wp_c + bp_c)
+        if proj_states is None and self._pallas_ok(states, query):
             from .pallas.slate import attn_pool_pallas
 
             lead, T = states.shape[:-2], states.shape[-2]
@@ -120,7 +137,10 @@ class AttentionPool(nn.Module):
                 s.reshape(-1, T, D), mask.reshape(-1, T),
                 query.astype(self.dtype).reshape(-1, D), wp_c, bp_c)
             return out.reshape(lead + (D,))
-        h = jnp.tanh(s @ wp_c + bp_c)
+        if proj_states is None:
+            h = jnp.tanh(s @ wp_c + bp_c)
+        else:
+            h = proj_states.astype(self.dtype)
         if query is not None:
             scores = jnp.einsum("...th,...h->...t", h,
                                 query.astype(self.dtype))

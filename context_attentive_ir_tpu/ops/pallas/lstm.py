@@ -280,8 +280,11 @@ def _lstm_fused_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref, out_ref,
                    static_argnames=("reverse", "block_b", "time_chunk",
                                     "interpret"))
 def _lstm_fused_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
-                     block_b: int = 512, time_chunk: int = 8,
+                     block_b: int = 512, time_chunk: int = 6,
                      interpret: bool = False):
+    # defaults tile-tuned on v5e at bench shapes (round 2 sweep, PERF.md):
+    # (tc=6, bb=512) 7.50 ms vs (8, 512) 8.59 / (10, 512) 7.90 /
+    # (8, 256) 7.91 / (15, 512) 7.95 at [16000, 30, 256]->128 bf16
     x, w_ih, _E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
@@ -454,9 +457,13 @@ def _lstm_fused_bwd_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref,
                    static_argnames=("reverse", "block_b", "time_chunk",
                                     "interpret"))
 def _lstm_fused_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
-                         block_b: int = 256, time_chunk: int = 4,
+                         block_b: int = 256, time_chunk: int = 6,
                          interpret: bool = False):
-    """Forward returning (out, h_bnd, c_bnd) for the kernel backward."""
+    """Forward returning (out, h_bnd, c_bnd) for the kernel backward.
+
+    Defaults tile-tuned on v5e (round-2 sweep, PERF.md): res+bwd pair
+    (tc=6, bb=256) 19.43 ms vs (4,256) 20.49 / (8,256) 19.82 /
+    (4,512) 20.44 at [16000, 30, 256]->128 bf16."""
     x, w_ih, _E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
@@ -519,7 +526,8 @@ def _lstm_fused_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
                                     "interpret"))
 def _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, dout,
                          reverse: bool = False, block_b: int = 256,
-                         time_chunk: int = 4, interpret: bool = False):
+                         time_chunk: int = 6, interpret: bool = False):
+    # time_chunk must match _lstm_fused_res_impl (chunk-boundary layout)
     x, w_ih, E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]

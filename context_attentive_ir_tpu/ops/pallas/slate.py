@@ -80,30 +80,44 @@ def attn_pool_reference(states, mask, query, w_p, b_p):
     return jnp.einsum("rt,rth->rh", align, states)
 
 
-def _pool_kernel(x_ref, mask_ref, q_ref, wp_ref, bp_ref, out_ref, *,
-                 h: int, t: int):
-    """One row-block grid step.
+def _pool_kernel(x_ref, mask_ref, q_ref, wp_ref, bp_ref, out_ref,
+                 m_scr, s_scr, acc_scr, *, h: int, tc: int,
+                 n_chunks: int):
+    """One (row_tile, time_chunk) grid step covering ``tc`` tokens.
 
-    x_ref    [TR, T*H]  token states for TR rows (row-major free reshape)
-    mask_ref [TR, T]    validity as f32 (lane-padded by Mosaic)
-    q_ref    [TR, H]    query vectors
-    wp_ref   [H, H]     pool projection (VMEM-resident)
-    bp_ref   [1, H]     pool bias
-    out_ref  [TR, H]    pooled vectors
+    Chunking the token axis bounds Mosaic's stack allocation (a fully
+    unrolled T-step loop OOMs scoped VMEM at T=30); the online-softmax
+    statistics carry across chunks in f32 VMEM scratch, exactly like the
+    LSTM kernel's hidden state.
+
+    x_ref    [TR, tc*H]  token states for this chunk (row-major reshape)
+    mask_ref [tc, 1, TR] validity (time-major, like the LSTM kernel)
+    q_ref    [TR, H]     query vectors
+    wp_ref   [H, H]      pool projection (VMEM-resident)
+    bp_ref   [1, H]      pool bias
+    out_ref  [TR, H]     pooled vectors (written at the last chunk)
+    m/s/acc  scratch     running max / denominator / weighted sum
     """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     q = q_ref[:].astype(jnp.float32)
     bp = bp_ref[0, :].astype(jnp.float32)[None, :]
-    tr = x_ref.shape[0]
-    m_run = jnp.full((tr, 1), -1e30, jnp.float32)
-    s_run = jnp.zeros((tr, 1), jnp.float32)
-    acc = jnp.zeros((tr, h), jnp.float32)
-    for k in range(t):
+    m_run = m_scr[:]
+    s_run = s_scr[:]
+    acc = acc_scr[:]
+    for k in range(tc):
         x_t = x_ref[:, k * h:(k + 1) * h]
         proj = jnp.dot(x_t, wp_ref[:],
                        preferred_element_type=jnp.float32) + bp
         hp = jnp.tanh(proj)
         sc = jnp.sum(hp * q, axis=-1, keepdims=True)      # [TR, 1]
-        mk = mask_ref[:, k:k + 1].astype(jnp.float32)     # [TR, 1]
+        mk = mask_ref[k, 0, :][:, None].astype(jnp.float32)   # [TR, 1]
         sc = jnp.where(mk > 0, sc, -1e30)
         m_new = jnp.maximum(m_run, sc)
         alpha = jnp.exp(m_run - m_new)
@@ -111,52 +125,67 @@ def _pool_kernel(x_ref, mask_ref, q_ref, wp_ref, bp_ref, out_ref, *,
         s_run = s_run * alpha + p
         acc = acc * alpha + p * x_t.astype(jnp.float32)
         m_run = m_new
-    pooled = acc / jnp.maximum(s_run, 1e-13)
-    out_ref[:] = pooled.astype(out_ref.dtype)
+    m_scr[:] = m_run
+    s_scr[:] = s_run
+    acc_scr[:] = acc
+
+    @pl.when(c == n_chunks - 1)
+    def _emit():
+        pooled = acc / jnp.maximum(s_run, 1e-13)
+        out_ref[:] = pooled.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_r", "interpret"))
+                   static_argnames=("block_r", "time_chunk", "interpret"))
 def _pool_fused_impl(states, mask, query, w_p, b_p,
-                     block_r: int = 128, interpret: bool = False):
+                     block_r: int = 128, time_chunk: int = 6,
+                     interpret: bool = False):
     R, T, H = states.shape
     assert H % 128 == 0, "pool kernel needs 128-aligned features"
     TR = min(_round_up(block_r, 16), _round_up(R, 16))
     Rp = _round_up(R, TR)
-    if Rp != R:
-        states = jnp.pad(states, ((0, Rp - R), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, Rp - R), (0, 0)))
+    TC = min(time_chunk, T)
+    Tp = _round_up(T, TC)
+    if Rp != R or Tp != T:
+        states = jnp.pad(states, ((0, Rp - R), (0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, ((0, Rp - R), (0, Tp - T)))
         query = jnp.pad(query, ((0, Rp - R), (0, 0)))
-    x2 = states.reshape(Rp, T * H)                 # free reshape, no copy
-    mask_f = mask.astype(jnp.float32)
+    x2 = states.reshape(Rp, Tp * H)                # free reshape, no copy
+    mask_i = mask.astype(jnp.int32).T[:, None, :]  # [Tp, 1, Rp] (tiny)
     bp2 = b_p.reshape(1, -1)
+    n_chunks = Tp // TC
 
     out = pl.pallas_call(
-        functools.partial(_pool_kernel, h=H, t=T),
-        grid=(Rp // TR,),
+        functools.partial(_pool_kernel, h=H, tc=TC, n_chunks=n_chunks),
+        grid=(Rp // TR, n_chunks),
         in_specs=[
-            pl.BlockSpec((TR, T * H), lambda r: (r, 0),
+            pl.BlockSpec((TR, TC * H), lambda r, c: (r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, T), lambda r: (r, 0),
+            pl.BlockSpec((TC, 1, TR), lambda r, c: (c, 0, r),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, H), lambda r: (r, 0),
+            pl.BlockSpec((TR, H), lambda r, c: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H), lambda r: (0, 0),
+            pl.BlockSpec((H, H), lambda r, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda r: (0, 0),
+            pl.BlockSpec((1, H), lambda r, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TR, H), lambda r: (r, 0),
+        out_specs=pl.BlockSpec((TR, H), lambda r, c: (r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, H), states.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TR, 1), jnp.float32),
+            pltpu.VMEM((TR, 1), jnp.float32),
+            pltpu.VMEM((TR, H), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Rp * T * H * H,
-            bytes_accessed=(Rp * T * H + Rp * 2 * H + H * H)
+            flops=2 * Rp * Tp * H * H,
+            bytes_accessed=(Rp * Tp * H + Rp * 2 * H + H * H)
             * states.dtype.itemsize,
-            transcendentals=Rp * T * (H + 2),
+            transcendentals=Rp * Tp * (H + 2),
         ),
         interpret=interpret,
-    )(x2, mask_f, query, w_p, bp2)
+    )(x2, mask_i, query, w_p, bp2)
     return out[:R]
 
 

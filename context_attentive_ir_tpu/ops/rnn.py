@@ -117,19 +117,27 @@ class RNNLayer(nn.Module):
             return False
         if jax.default_backend() != "tpu":
             return False
+        # Inference crossover (round-2 on-chip sweep, PERF.md): the fused
+        # forward kernel beats the XLA scan below ~6k rows (batch-bound
+        # serving buckets) but loses above it (the scan's per-step
+        # overhead amortizes; the kernel's grid walk scales linearly).
+        # Training always prefers the LSTM kernel pair: the chunked-remat
+        # backward is the dominant, measured win (train step +29%).
+        infer_scan_faster = deterministic and x.shape[0] >= 6000
         if self.rnn_type == "lstm":
-            # LSTM training uses the kernel too: its custom_vjp backward is
-            # the chunked-remat kernel (measured faster than the scan
-            # fwd+bwd on TPU, PERF.md).
             from .pallas.lstm import fused_supported
 
-            return fused_supported(x.shape[-1], self.features, x.shape[0])
+            if not fused_supported(x.shape[-1], self.features, x.shape[0]):
+                return False
+            return not infer_scan_faster
         if self.rnn_type == "gru" and deterministic:
             # The GRU kernel has no backward kernel (its custom_vjp replays
-            # the scan), so dispatch it only on inference passes; training
-            # keeps the scan path whose autodiff is the fast option.
+            # the scan), so dispatch it only on inference passes below the
+            # same crossover; training keeps the scan path.
             from .pallas.gru import gru_fused_supported
 
+            if infer_scan_faster:
+                return False
             return gru_fused_supported(x.shape[-1], self.features,
                                        x.shape[0])
         return False

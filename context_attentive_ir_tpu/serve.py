@@ -88,6 +88,10 @@ class Engine:
         self._encode_docs_jit = (jax.jit(lambda p, d, m: self.model.apply(
             {"params": p}, d, m, method=self.model.encode_docs))
             if has_doc_cache else None)
+        self._encode_docs_proj_jit = (
+            jax.jit(lambda p, s: self.model.apply(
+                {"params": p}, s, method=self.model.encode_docs_proj))
+            if hasattr(self.model, "encode_docs_proj") else None)
 
     # -- construction ---------------------------------------------------------
 
@@ -173,13 +177,17 @@ class Engine:
 
     # -- cached-document ranking ----------------------------------------------
 
-    def index_documents(self, texts: Sequence[str]) -> dict:
+    def index_documents(self, texts: Sequence[str],
+                        cache_pool_proj: bool = True) -> dict:
         """Precompute query-independent document encodings (CARS-family).
 
         The doc BiLSTM + embedding gather are ~85% of scoring cost; a
         corpus indexed once serves repeat-doc reranking at a fraction of
-        the compute (PERF.md).  Returns {'states' [n, Ld, H2],
-        'mask' [n, Ld]} on device.
+        the compute (PERF.md).  ``cache_pool_proj`` additionally caches
+        the pooling projection ``tanh(W_p d + b_p)`` (also
+        query-independent), removing the per-request proj matmul + tanh
+        at the cost of 2x index memory.  Returns {'states' [n, Ld, H2],
+        'mask' [n, Ld], 'proj' [n, Ld, H2] | None} on device.
         """
         if self._rank_indexed_jit is None:
             raise ServeError(
@@ -192,9 +200,14 @@ class Engine:
             ids[i, :len(toks)] = toks
             mask[i, :len(toks)] = True
         states = self._encode_docs_jit(self.params, ids, mask)
-        return {"states": states, "mask": jax.device_put(mask)}
+        proj = None
+        if cache_pool_proj and self._encode_docs_proj_jit is not None:
+            proj = self._encode_docs_proj_jit(self.params, states)
+        return {"states": states, "mask": jax.device_put(mask),
+                "proj": proj}
 
-    def _rank_indexed_impl(self, params, batch, states, smask, idx):
+    def _rank_indexed_impl(self, params, batch, states, smask, idx,
+                           proj=None):
         """Score a session batch against per-row cached doc states.
 
         idx int32 [B, N] indexes the corpus ``states [n, Ld, H2]``; the
@@ -204,14 +217,16 @@ class Engine:
         import jax.numpy as jnp
 
         B, S = batch.query.shape[:2]
-        d_states = jnp.take(states, idx, axis=0)         # [B, N, Ld, H2]
-        d_states = jnp.broadcast_to(
-            d_states[:, None], (B, S) + d_states.shape[1:])
-        dmask = jnp.take(smask, idx, axis=0)             # [B, N, Ld]
-        dmask = jnp.broadcast_to(dmask[:, None], (B, S) + dmask.shape[1:])
-        batch = batch.replace(doc_mask=dmask)
+
+        def expand(arr):
+            g = jnp.take(arr, idx, axis=0)               # [B, N, ...]
+            return jnp.broadcast_to(g[:, None], (B, S) + g.shape[1:])
+
+        d_states = expand(states)                        # [B,S,N,Ld,H2]
+        batch = batch.replace(doc_mask=expand(smask))
+        d_proj = None if proj is None else expand(proj)
         return self.model.apply({"params": params}, batch, d_states,
-                                method=self.model.score)
+                                d_proj, method=self.model.score)
 
     def rank_indexed(self, query: str, doc_ids: Sequence[int],
                      index: dict, history: Sequence[str] = ()) -> list[float]:
@@ -245,8 +260,8 @@ class Engine:
         for i, (_, ids, _) in enumerate(reqs):
             idx[i, : len(ids)] = np.asarray(ids, np.int32)
         scores = np.asarray(jax.device_get(self._rank_indexed_jit(
-            self.params, batch, index["states"], index["mask"], idx)),
-            np.float32)
+            self.params, batch, index["states"], index["mask"], idx,
+            index.get("proj"))), np.float32)
         out = []
         for i, ((_, ids, _), sess) in enumerate(zip(reqs, sessions)):
             t_last = len(sess.queries) - 1

@@ -169,10 +169,10 @@ def pool():
 
     ms = timed(jax.jit(attn_pool_reference), states, mask, query, w_p, b_p)
     report("pool_xla", ms)
-    for br in (128, 256, 512):
-        fn = functools.partial(_pool_fused_impl, block_r=br)
+    for br, tc in ((512, 2), (1024, 1), (512, 3), (1024, 2)):
+        fn = functools.partial(_pool_fused_impl, block_r=br, time_chunk=tc)
         ms = timed(fn, states, mask, query, w_p, b_p)
-        report("pool_pallas", ms, block_r=br)
+        report("pool_pallas", ms, block_r=br, time_chunk=tc)
     # parity on-chip
     out_k = jax.device_get(jax.jit(attn_pool_pallas)(states, mask, query,
                                                      w_p, b_p))
@@ -209,6 +209,158 @@ def gru():
     err = float(np.max(np.abs(out_k.astype(np.float32)
                               - out_r.astype(np.float32))))
     report("gru_parity", 0.0, max_abs_err=err)
+
+
+def scan_vs_fused():
+    """LSTM scan vs fused kernel at two batch sizes: validates (or
+    falsifies) the dispatch policy at bench vs small shapes."""
+    from context_attentive_ir_tpu.ops.pallas.lstm import (
+        _lstm_fused_impl,
+        lstm_pallas_reference,
+    )
+
+    rows_list = [int(r) for r in sys.argv[2:]] or [16000, 2000]
+    for rows in rows_list:
+        x, mask, w_ih, b, w_hh = _lstm_inputs(rows=rows)
+
+        @jax.jit
+        def scan_path(x, mask, w_ih, b, w_hh):
+            return lstm_pallas_reference(x @ w_ih + b, mask, w_hh)
+
+        ms = timed(scan_path, x, mask, w_ih, b, w_hh)
+        report("lstm_scan", ms, rows=rows)
+        fn = functools.partial(_lstm_fused_impl, block_b=512, time_chunk=6)
+        ms = timed(fn, x, mask, w_ih, b, w_hh)
+        report("lstm_fused", ms, rows=rows, time_chunk=6, block_b=512)
+
+
+def gru_small():
+    from context_attentive_ir_tpu.ops.pallas.gru import (
+        _gru_fused_impl,
+        gru_pallas_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    rows = 2000
+    x = jnp.asarray(rng.normal(size=(rows, T, E)) * 0.3, jnp.bfloat16)
+    w_ih = jnp.asarray(rng.normal(size=(E, 3 * H)) * 0.1, jnp.bfloat16)
+    b_ih = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
+    w_hh = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.1, jnp.bfloat16)
+    b_hh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
+    mask = jnp.ones((rows, T), bool)
+    ms = timed(jax.jit(gru_pallas_reference), x, mask, w_ih, b_ih, w_hh,
+               b_hh)
+    report("gru_scan", ms, rows=rows)
+    ms = timed(functools.partial(_gru_fused_impl, block_b=512,
+                                 time_chunk=6), x, mask, w_ih, b_ih, w_hh,
+               b_hh)
+    report("gru_pallas", ms, rows=rows, time_chunk=6, block_b=512)
+
+
+def score_e2e():
+    """Full CARS score step, fused-kernel config vs scan config (the
+    dispatch decision measured end-to-end, not in isolation)."""
+    import bench as bench_mod
+
+    for use_pallas in (True, False):
+        _, model, params, batch = bench_mod._build_cars(use_pallas)
+
+        @jax.jit
+        def score(params, batch):
+            return model.apply({"params": params}, batch,
+                               method=model.score)
+
+        ms = timed(score, params, batch, warmup=3, iters=20)
+        docs = 64 * 5 * 50
+        report("score_e2e", ms, use_pallas_rnn=use_pallas,
+               docs_per_sec=round(docs / ms, 1))
+
+
+def train_e2e():
+    """Full CARS train step (loss+grads+adam), kernel vs scan config."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.train.state import create_train_state
+    from context_attentive_ir_tpu.train.steps import make_train_step
+
+    for use_pallas in (True, False):
+        cfg, model, _params, batch = bench_mod._build_cars(use_pallas)
+        state = create_train_state(model, cfg, batch, jax.random.key(0))
+        step = make_train_step(model, cfg)
+        rng = jax.random.key(1)
+        s = state  # state is donated each step; always chain it
+        for _ in range(2):
+            s, m = step(s, batch, rng)
+        jax.device_get(m["loss"])
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            s, m = step(s, batch, rng)
+        jax.device_get(m["loss"])
+        ms = (time.perf_counter() - t0) / iters
+        docs = 64 * 5 * 50
+        report("train_e2e", ms, use_pallas_rnn=use_pallas,
+               docs_per_sec=round(docs / ms, 1))
+
+
+def beam_parts():
+    """Decompose the beam step: generator matmul+log_softmax vs top-k
+    formulations over the [B, K*V] expansion."""
+    rng = np.random.RandomState(0)
+    B_, K, V, Hh = 320, 5, VOCAB, 256
+    h = jnp.asarray(rng.normal(size=(B_ * K, Hh)) * 0.3, jnp.bfloat16)
+    table = jnp.asarray(rng.normal(size=(V, Hh)) * 0.3, jnp.bfloat16)
+    prev = jnp.zeros((B_, K), jnp.float32)
+
+    def scan16(body):
+        @jax.jit
+        def run(h, table, prev):
+            def step(carry, _):
+                out = body(h, table, carry)
+                return carry, out
+            _, outs = jax.lax.scan(step, prev, jnp.arange(16))
+            return outs
+        return run
+
+    def gen_only(h, table, prev):
+        logits = (h @ table.T).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.sum(logp) * 0 + prev[0, 0]
+
+    ms = timed(scan16(gen_only), h, table, prev, warmup=2, iters=5)
+    report("beam_gen_logsoftmax_x16", ms)
+
+    def flat_topk(h, table, prev):
+        logits = (h @ table.T).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        total = prev[..., None] + logp.reshape(B_, K, V)
+        top, idx = jax.lax.top_k(total.reshape(B_, K * V), K)
+        return top.sum() + idx.sum()
+
+    ms = timed(scan16(flat_topk), h, table, prev, warmup=2, iters=5)
+    report("beam_flat_topk_x16", ms)
+
+    def two_stage_topk(h, table, prev):
+        logits = (h @ table.T).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        t1, i1 = jax.lax.top_k(logp, K)              # [B*K, K] per beam
+        total = prev.reshape(B_ * K, 1) + t1
+        top, i2 = jax.lax.top_k(total.reshape(B_, K * K), K)
+        return top.sum() + i2.sum() + i1.sum()
+
+    ms = timed(scan16(two_stage_topk), h, table, prev, warmup=2, iters=5)
+    report("beam_two_stage_topk_x16", ms)
+
+    def approx_two_stage(h, table, prev):
+        logits = (h @ table.T).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        t1, i1 = jax.lax.approx_max_k(logp, K, recall_target=0.99)
+        total = prev.reshape(B_ * K, 1) + t1
+        top, i2 = jax.lax.top_k(total.reshape(B_, K * K), K)
+        return top.sum() + i2.sum() + i1.sum()
+
+    ms = timed(scan16(approx_two_stage), h, table, prev, warmup=2, iters=5)
+    report("beam_approx_two_stage_x16", ms)
 
 
 def suggest():
@@ -256,5 +408,7 @@ def suggest():
 if __name__ == "__main__":
     exp = sys.argv[1] if len(sys.argv) > 1 else "pool"
     {"lstm_sweep": lstm_sweep, "lstm_bwd_sweep": lstm_bwd_sweep,
-     "gather": gather, "pool": pool, "suggest": suggest,
-     "gru": gru}[exp]()
+     "gather": gather, "pool": pool, "suggest": suggest, "gru": gru,
+     "scan_vs_fused": scan_vs_fused, "gru_small": gru_small,
+     "score_e2e": score_e2e, "train_e2e": train_e2e,
+     "beam_parts": beam_parts}[exp]()

@@ -211,3 +211,20 @@ def test_bf16_engine_smoke(tmp_path):
     assert np.isfinite(cached).all()
     sugg = eng.suggest([" ".join(q.tokens)])
     assert sugg and all(np.isfinite(s) for _, s in sugg)
+
+
+def test_rank_indexed_pool_proj_cache_consistent(trained_cars):
+    """The cached pooling projection (index 'proj', query-independent
+    tanh(W_p d + b_p)) must reproduce the uncached indexed scores."""
+    path, sessions, _ = trained_cars
+    eng = Engine.from_checkpoint(path, beam_size=1)
+    q = sessions[1].queries[-1]
+    history = [" ".join(x.tokens) for x in sessions[1].queries[:-1]]
+    docs = [" ".join(d.tokens) for d in q.documents]
+    with_proj = eng.index_documents(docs, cache_pool_proj=True)
+    without = eng.index_documents(docs, cache_pool_proj=False)
+    assert with_proj["proj"] is not None and without["proj"] is None
+    ids = list(range(len(docs)))
+    a = eng.rank_indexed(" ".join(q.tokens), ids, with_proj, history)
+    b = eng.rank_indexed(" ".join(q.tokens), ids, without, history)
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
