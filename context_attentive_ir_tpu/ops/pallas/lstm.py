@@ -604,6 +604,76 @@ def _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, dout,
             dwhh.astype(w_hh.dtype))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("reverse", "block_b", "time_chunk"))
+def _lstm_scan_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
+                        block_b: int = 256, time_chunk: int = 6):
+    """Scan forward emitting the same (out, h_bnd, c_bnd) residual layout
+    as ``_lstm_fused_res_impl`` for the chunked-remat backward kernel.
+
+    Why it exists: the round-2 crossover sweep (PERF.md) showed the XLA
+    scan forward beats the fused forward kernel above ~6k rows, while the
+    backward KERNEL stays the big training win at every size.  Training at
+    large batch therefore runs scan-forward + kernel-backward; the only
+    extra cost is emitting the per-step carried (h, c) and slicing the
+    chunk boundaries.
+    """
+    x, w_ih, _E = _pad_embed(x, w_ih)
+    B, T, _ = x.shape
+    H = w_hh.shape[0]
+    if B <= block_b:
+        Bp = _round_up(B, 16)
+    else:
+        TB = _round_up(block_b, 128)
+        Bp = _round_up(B, TB)
+    TC = min(time_chunk, T)
+    Tp = _round_up(T, TC)
+    if Bp != B or Tp != T:
+        x = jnp.pad(x, ((0, Bp - B), (0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, ((0, Bp - B), (0, Tp - T)))
+    n_chunks = Tp // TC
+
+    x_proj = x @ w_ih + b
+
+    def step(carry, inp):
+        h, c = carry
+        xp, m = inp
+        gates = xp + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = m[:, None]
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), (h, c)
+
+    h0 = jnp.zeros((Bp, H), x.dtype)
+    xs = (jnp.swapaxes(x_proj, 0, 1), jnp.swapaxes(mask, 0, 1))
+    _, (h_all, c_all) = jax.lax.scan(step, (h0, h0), xs, reverse=reverse)
+    # h_all/c_all [Tp, Bp, H]: carried state after consuming step t
+    out = jnp.swapaxes(h_all, 0, 1) * mask[..., None].astype(x.dtype)
+
+    # hb[j]/cb[j] = carry BEFORE processing time-chunk j (processing
+    # order; see _lstm_fused_res_kernel).  forward: state after step
+    # j*TC-1 (zeros for j=0); reverse: state after consuming step
+    # (j+1)*TC descending (zeros for j=n_chunks-1).
+    zero = jnp.zeros((1, Bp, H), jnp.float32)
+    if not reverse:
+        idx = jnp.arange(1, n_chunks) * TC - 1
+        hb = jnp.concatenate([zero, h_all[idx].astype(jnp.float32)], 0)
+        cb = jnp.concatenate([zero, c_all[idx].astype(jnp.float32)], 0)
+    else:
+        idx = (jnp.arange(0, n_chunks - 1) + 1) * TC
+        hb = jnp.concatenate([h_all[idx].astype(jnp.float32), zero], 0)
+        cb = jnp.concatenate([c_all[idx].astype(jnp.float32), zero], 0)
+    return out[:B, :T], hb, cb
+
+
+# rows at/above which the scan forward beats the fused forward kernel
+# (round-2 on-chip crossover sweep, PERF.md)
+SCAN_FASTER_ROWS = 6000
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def lstm_pallas_fused(x, mask, w_ih, b, w_hh, reverse: bool = False):
     """Fused (input projection + recurrence) masked LSTM.
@@ -617,6 +687,13 @@ def lstm_pallas_fused(x, mask, w_ih, b, w_hh, reverse: bool = False):
 
 def _fused_fwd(x, mask, w_ih, b, w_hh, reverse):
     if jax.default_backend() == "tpu":
+        # NOTE: a scan-based residual forward (_lstm_scan_res_impl) was
+        # measured END-TO-END a wash vs this kernel at 16k rows (50.1 vs
+        # 49.3 ms/train step): emitting the (h, c) trace re-adds the HBM
+        # traffic the kernel exists to avoid.  The training pair stays
+        # kernel-forward + kernel-backward at every size (PERF.md r2 #10);
+        # only the no-residual INFERENCE forward dispatches to the scan
+        # above the crossover (ops/rnn.RNNLayer._pallas_ok).
         out, hb, cb = _lstm_fused_res_impl(x, mask, w_ih, b, w_hh,
                                            reverse=reverse)
         return out, (x, mask, w_ih, b, w_hh, hb, cb)

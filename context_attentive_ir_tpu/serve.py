@@ -178,16 +178,20 @@ class Engine:
     # -- cached-document ranking ----------------------------------------------
 
     def index_documents(self, texts: Sequence[str],
-                        cache_pool_proj: bool = True) -> dict:
+                        cache_pool_proj: bool = False) -> dict:
         """Precompute query-independent document encodings (CARS-family).
 
         The doc BiLSTM + embedding gather are ~85% of scoring cost; a
         corpus indexed once serves repeat-doc reranking at a fraction of
         the compute (PERF.md).  ``cache_pool_proj`` additionally caches
         the pooling projection ``tanh(W_p d + b_p)`` (also
-        query-independent), removing the per-request proj matmul + tanh
-        at the cost of 2x index memory.  Returns {'states' [n, Ld, H2],
-        'mask' [n, Ld], 'proj' [n, Ld, H2] | None} on device.
+        query-independent) at the cost of 2x index memory.  Measured on
+        v5e this is a NET LOSS at request time (reading the extra cached
+        bytes costs more than recomputing the fused matmul+tanh: 5.75 vs
+        4.82 ms at B=64 -- PERF.md round-2 ledger), so it defaults off;
+        kept as a consistency-tested option for compute-starved setups.
+        Returns {'states' [n, Ld, H2], 'mask' [n, Ld],
+        'proj' [n, Ld, H2] | None} on device.
         """
         if self._rank_indexed_jit is None:
             raise ServeError(

@@ -303,6 +303,48 @@ def train_e2e():
                docs_per_sec=round(docs / ms, 1))
 
 
+def indexed():
+    """Cached-document ranking throughput, with and without the cached
+    pooling projection (serve.py rank_indexed path)."""
+    import bench as bench_mod
+
+    _, model, params, batch = bench_mod._build_cars(True)
+    n_corpus, Ld, h2 = 20000, 30, 2 * H
+    rng = np.random.RandomState(0)
+    states = jnp.asarray(rng.normal(size=(n_corpus, Ld, h2)) * 0.5,
+                         jnp.bfloat16)
+    idx = jnp.asarray(rng.randint(0, n_corpus, size=(64, 50)), jnp.int32)
+
+    @jax.jit
+    def proj_of(params, states):
+        return model.apply({"params": params}, states,
+                           method=model.encode_docs_proj)
+
+    proj = proj_of(params, states)
+
+    def run(with_proj):
+        @jax.jit
+        def score(params, batch, states, idx, proj):
+            B, S = batch.query.shape[:2]
+
+            def expand(arr):
+                g = jnp.take(arr, idx, axis=0)
+                return jnp.broadcast_to(g[:, None], (B, S) + g.shape[1:])
+
+            d_states = expand(states)
+            d_proj = expand(proj) if with_proj else None
+            return model.apply({"params": params}, batch, d_states,
+                               d_proj, method=model.score)
+
+        ms = timed(score, params, batch, states, idx,
+                   proj if with_proj else None)
+        report("rank_indexed", ms, cached_pool_proj=with_proj,
+               docs_per_sec=round(64 * 5 * 50 / ms, 1))
+
+    run(False)
+    run(True)
+
+
 def beam_parts():
     """Decompose the beam step: generator matmul+log_softmax vs top-k
     formulations over the [B, K*V] expansion."""
@@ -411,4 +453,4 @@ if __name__ == "__main__":
      "gather": gather, "pool": pool, "suggest": suggest, "gru": gru,
      "scan_vs_fused": scan_vs_fused, "gru_small": gru_small,
      "score_e2e": score_e2e, "train_e2e": train_e2e,
-     "beam_parts": beam_parts}[exp]()
+     "beam_parts": beam_parts, "indexed": indexed}[exp]()

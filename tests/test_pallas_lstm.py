@@ -194,3 +194,57 @@ def test_fused_kernel_unaligned_embed_dim():
                                rtol=3e-3)
     np.testing.assert_allclose(np.asarray(dwih), np.asarray(rwih),
                                atol=3e-2, rtol=3e-3)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_scan_res_matches_kernel_res(reverse):
+    """The scan-forward residual path (used above the crossover) must emit
+    the same outputs and chunk-boundary (h, c) as the res kernel, and feed
+    the backward kernel to the same gradients."""
+    from context_attentive_ir_tpu.ops.pallas.lstm import (
+        _lstm_fused_bwd_impl,
+        _lstm_fused_res_impl,
+        _lstm_scan_res_impl,
+        lstm_pallas_reference,
+    )
+
+    rng = np.random.RandomState(31)
+    b, t, e, h = 24, 11, 128, 128
+    x = jnp.asarray(rng.normal(size=(b, t, e)).astype(np.float32) * 0.3)
+    w_ih = jnp.asarray((rng.normal(size=(e, 4 * h)) * 0.1).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(4 * h,)) * 0.1).astype(np.float32))
+    w_hh = jnp.asarray((rng.normal(size=(h, 4 * h)) * 0.1).astype(np.float32))
+    lens = rng.randint(1, t + 1, size=(b,))
+    lens[0] = t
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    g = jnp.asarray(rng.normal(size=(b, t, h)).astype(np.float32))
+
+    out_s, hb_s, cb_s = _lstm_scan_res_impl(x, mask, w_ih, bias, w_hh,
+                                            reverse=reverse, block_b=16,
+                                            time_chunk=4)
+    out_k, hb_k, cb_k = _lstm_fused_res_impl(x, mask, w_ih, bias, w_hh,
+                                             reverse=reverse, block_b=16,
+                                             time_chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_k),
+                               atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(hb_s), np.asarray(hb_k),
+                               atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(cb_s), np.asarray(cb_k),
+                               atol=5e-4, rtol=2e-3)
+
+    # grads via the backward kernel fed with the SCAN-path residuals
+    def ref(x, w_ih, bias, w_hh):
+        return lstm_pallas_reference(x @ w_ih + bias, mask, w_hh,
+                                     reverse=reverse)
+
+    _, vjp = jax.vjp(ref, x, w_ih, bias, w_hh)
+    rx, rwih, rb, rwhh = vjp(g)
+    dx, dwih, db, dwhh = _lstm_fused_bwd_impl(
+        x, mask, w_ih, bias, w_hh, hb_s, cb_s, g, reverse=reverse,
+        block_b=16, time_chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx),
+                               atol=3e-3, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(dwih), np.asarray(rwih),
+                               atol=3e-2, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(dwhh), np.asarray(rwhh),
+                               atol=3e-2, rtol=3e-3)
