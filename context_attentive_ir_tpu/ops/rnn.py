@@ -59,6 +59,56 @@ def lstm_scan(
     return outs, (hT, cT)
 
 
+def bilstm_scan(
+    x_proj_f: jnp.ndarray,  # [B, T, 4H] = x @ W_ih_fwd + b_fwd
+    x_proj_b: jnp.ndarray,  # [B, T, 4H] = x @ W_ih_bwd + b_bwd
+    mask: jnp.ndarray,      # bool [B, T]
+    w_hh_f: jnp.ndarray,    # [H, 4H]
+    w_hh_b: jnp.ndarray,    # [H, 4H]
+):
+    """Both BiLSTM directions in ONE ``lax.scan``.
+
+    The separate-scan formulation is per-step-overhead-bound on TPU
+    (measured nearly flat in batch size, PERF.md round-2 crossover):
+    running forward and backward as one scan halves the sequential step
+    count and doubles each step's matmul ([2, B, H] @ [2, H, 4H], a
+    batched MXU matmul) -- same math, zero initial state.
+
+    Returns (out_f [B, T, H], out_b [B, T, H], hT_f [B, H], hT_b [B, H])
+    with masked positions zeroed and state carried through padding,
+    exactly like two ``lstm_scan`` calls.
+    """
+    B, T, G = x_proj_f.shape
+    H = G // 4
+    w = jnp.stack([w_hh_f, w_hh_b])                        # [2, H, 4H]
+
+    xs_f = jnp.swapaxes(x_proj_f, 0, 1)                    # [T, B, 4H]
+    xs_b = jnp.swapaxes(x_proj_b, 0, 1)[::-1]              # reversed time
+    m_f = jnp.swapaxes(mask, 0, 1)
+    m_b = m_f[::-1]
+    xs = jnp.stack([xs_f, xs_b], axis=1)                   # [T, 2, B, 4H]
+    ms = jnp.stack([m_f, m_b], axis=1)                     # [T, 2, B]
+
+    def step(carry, inp):
+        h, c = carry                                       # [2, B, H]
+        xp, m = inp
+        gates = xp + jnp.einsum("dbh,dhg->dbg", h, w)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = m[..., None]
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), h
+
+    h0 = jnp.zeros((2, B, H), x_proj_f.dtype)
+    (hT, _cT), outs = jax.lax.scan(step, (h0, h0), (xs, ms))
+    out_f = jnp.swapaxes(outs[:, 0], 0, 1)
+    out_b = jnp.swapaxes(outs[::-1, 1], 0, 1)              # un-reverse
+    mexp = mask[..., None].astype(out_f.dtype)
+    return out_f * mexp, out_b * mexp, hT[0], hT[1]
+
+
 def gru_scan(
     x_proj: jnp.ndarray,   # [B, T, 3H] = x @ W_ih + b_ih
     mask: jnp.ndarray,     # bool [B, T]
@@ -153,6 +203,12 @@ class RNNLayer(nn.Module):
         dirs = ["fwd", "bwd"] if self.bidirectional else ["fwd"]
         outs, finals = [], []
         x = x.astype(self.dtype)
+        # NOTE: a merged-direction scan (ops.rnn.bilstm_scan -- both
+        # BiLSTM directions in one lax.scan) was measured END-TO-END
+        # SLOWER on v5e (score 17.9 vs 13.4 ms; the [2, B, H] @
+        # [2, H, 4H] batched matmul and time-stacked layout lower worse
+        # than two flat scans -- PERF.md r2 #10), so it is NOT
+        # dispatched; kept equivalence-tested for the record.
         for d in dirs:
             w_ih = self.param(f"w_ih_{d}", nn.initializers.glorot_uniform(),
                               (D, n_gates * H), self.param_dtype)

@@ -183,3 +183,33 @@ def test_embeddings_lookup_padded_exact():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(fin_pad), np.asarray(fin_plain),
                                atol=1e-6)
+
+
+def test_bilstm_merged_scan_matches_per_direction():
+    """The merged-direction scan (one lax.scan for both BiLSTM directions)
+    must equal two independent lstm_scan passes with the same params."""
+    from context_attentive_ir_tpu.ops.rnn import bilstm_scan, lstm_scan
+
+    rng = np.random.RandomState(3)
+    B, T, H = 6, 9, 16
+    xp_f = jnp.asarray(rng.normal(size=(B, T, 4 * H)).astype(np.float32))
+    xp_b = jnp.asarray(rng.normal(size=(B, T, 4 * H)).astype(np.float32))
+    w_f = jnp.asarray((rng.normal(size=(H, 4 * H)) * 0.3).astype(np.float32))
+    w_b = jnp.asarray((rng.normal(size=(H, 4 * H)) * 0.3).astype(np.float32))
+    lens = rng.randint(1, T + 1, size=(B,))
+    lens[0] = T
+    mask = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+
+    zero = jnp.zeros((B, H), jnp.float32)
+    ref_f, (hT_f, _) = lstm_scan(xp_f, mask, w_f, zero, zero)
+    ref_b, (hT_b, _) = lstm_scan(xp_b, mask, w_b, zero, zero,
+                                 reverse=True)
+    out_f, out_b, mT_f, mT_b = bilstm_scan(xp_f, xp_b, mask, w_f, w_b)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mT_f), np.asarray(hT_f),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mT_b), np.asarray(hT_b),
+                               atol=1e-5, rtol=1e-5)
