@@ -75,7 +75,8 @@ def _random_session_batch(rng, b=B, s=S, n=N, lq=LQ, ld=LD, vocab=VOCAB):
     )
 
 
-def _build_cars(use_pallas: bool, b=B, s=S, n=N, vocab=VOCAB):
+def _build_cars(use_pallas: bool, b=B, s=S, n=N, vocab=VOCAB,
+                rnn_type="lstm"):
     import jax
 
     from context_attentive_ir_tpu.config import default_config
@@ -83,6 +84,7 @@ def _build_cars(use_pallas: bool, b=B, s=S, n=N, vocab=VOCAB):
 
     cfg = default_config("cars").replace(
         vocab_size=vocab, emsize=EMSIZE, nhid=NHID,
+        rnn_type=rnn_type,
         max_query_len=LQ, max_doc_len=LD, max_session_len=s,
         num_candidates=n, compute_dtype="bfloat16",
         # slate kernel stays at its default (off): measured slower than

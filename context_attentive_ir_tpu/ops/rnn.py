@@ -180,10 +180,9 @@ class RNNLayer(nn.Module):
             if not fused_supported(x.shape[-1], self.features, x.shape[0]):
                 return False
             return not infer_scan_faster
-        if self.rnn_type == "gru" and deterministic:
-            # The GRU kernel has no backward kernel (its custom_vjp replays
-            # the scan), so dispatch it only on inference passes below the
-            # same crossover; training keeps the scan path.
+        if self.rnn_type == "gru":
+            # Same policy as LSTM: the GRU chunked-remat backward kernel
+            # carries training; inference obeys the scan crossover.
             from .pallas.gru import gru_fused_supported
 
             if infer_scan_faster:

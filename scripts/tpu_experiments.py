@@ -277,14 +277,17 @@ def score_e2e():
 
 
 def train_e2e():
-    """Full CARS train step (loss+grads+adam), kernel vs scan config."""
+    """Full CARS train step (loss+grads+adam), kernel vs scan config.
+    Optional argv: rnn_type (lstm|gru)."""
     import bench as bench_mod
 
     from context_attentive_ir_tpu.train.state import create_train_state
     from context_attentive_ir_tpu.train.steps import make_train_step
 
+    rnn = sys.argv[2] if len(sys.argv) > 2 else "lstm"
     for use_pallas in (True, False):
-        cfg, model, _params, batch = bench_mod._build_cars(use_pallas)
+        cfg, model, _params, batch = bench_mod._build_cars(use_pallas,
+                                                           rnn_type=rnn)
         state = create_train_state(model, cfg, batch, jax.random.key(0))
         step = make_train_step(model, cfg)
         rng = jax.random.key(1)
@@ -299,8 +302,81 @@ def train_e2e():
         jax.device_get(m["loss"])
         ms = (time.perf_counter() - t0) / iters
         docs = 64 * 5 * 50
-        report("train_e2e", ms, use_pallas_rnn=use_pallas,
+        report("train_e2e", ms, use_pallas_rnn=use_pallas, rnn_type=rnn,
                docs_per_sec=round(docs / ms, 1))
+
+
+def gru_train():
+    """GRU fwd+bwd: chunked-remat kernel pair vs scan autodiff, 16k rows."""
+    from context_attentive_ir_tpu.ops.pallas.gru import (
+        gru_pallas_fused,
+        gru_pallas_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(ROWS, T, E)) * 0.3, jnp.bfloat16)
+    w_ih = jnp.asarray(rng.normal(size=(E, 3 * H)) * 0.1, jnp.bfloat16)
+    b_ih = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
+    w_hh = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.1, jnp.bfloat16)
+    b_hh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
+    mask = jnp.ones((ROWS, T), bool)
+
+    def loss_k(x, w_ih, b_ih, w_hh, b_hh):
+        return jnp.sum(gru_pallas_fused(x, mask, w_ih, b_ih, w_hh, b_hh)
+                       .astype(jnp.float32) ** 2)
+
+    def loss_s(x, w_ih, b_ih, w_hh, b_hh):
+        return jnp.sum(gru_pallas_reference(x, mask, w_ih, b_ih, w_hh,
+                                            b_hh).astype(jnp.float32) ** 2)
+
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 2, 3)))
+    gs = jax.jit(jax.grad(loss_s, argnums=(0, 2, 3)))
+    ms = timed(gs, x, w_ih, b_ih, w_hh, b_hh)
+    report("gru_fwdbwd_scan", ms)
+    ms = timed(gk, x, w_ih, b_ih, w_hh, b_hh)
+    report("gru_fwdbwd_kernel", ms)
+    a = jax.device_get(gk(x, w_ih, b_ih, w_hh, b_hh))
+    b = jax.device_get(gs(x, w_ih, b_ih, w_hh, b_hh))
+    errs = [float(np.max(np.abs(np.asarray(u, np.float32)
+                                - np.asarray(v, np.float32)))
+                  / max(float(np.max(np.abs(np.asarray(v, np.float32)))),
+                        1e-6)) for u, v in zip(a, b)]
+    report("gru_fwdbwd_parity", 0.0, max_rel_errs=[round(e, 4)
+                                                   for e in errs])
+
+
+def decode_step_only():
+    """Isolate the model-side decoder step (no beam machinery): a 16-step
+    scan of decode_step at beam-expanded rows."""
+    import bench as bench_mod
+
+    _, model, params, batch = bench_mod._build_cars(True)
+    var = {"params": params}
+
+    @jax.jit
+    def run(params, batch):
+        var = {"params": params}
+        state, memory, memory_mask = model.apply(
+            var, batch, method=model.decode_init)
+        rep = lambda v: jnp.repeat(v, 5, axis=0)
+        state = jax.tree_util.tree_map(rep, state)
+        mem_k, mask_k = rep(memory), rep(memory_mask)
+        rows = mem_k.shape[0]
+
+        def body(carry, _):
+            st, tok = carry
+            st, logits, align = model.apply(var, st, tok, mem_k, mask_k,
+                                            method=model.decode_step)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (st, nxt), logits[:, 0]
+
+        tok0 = jnp.full((rows,), 2, jnp.int32)
+        (_, _), outs = jax.lax.scan(body, (state, tok0), jnp.arange(16))
+        return outs
+
+    ms = timed(run, params, batch, warmup=2, iters=10)
+    report("decode_step_only_x16", ms)
+    del var
 
 
 def indexed():
@@ -453,4 +529,5 @@ if __name__ == "__main__":
      "gather": gather, "pool": pool, "suggest": suggest, "gru": gru,
      "scan_vs_fused": scan_vs_fused, "gru_small": gru_small,
      "score_e2e": score_e2e, "train_e2e": train_e2e,
-     "beam_parts": beam_parts, "indexed": indexed}[exp]()
+     "beam_parts": beam_parts, "indexed": indexed,
+     "decode_step_only": decode_step_only, "gru_train": gru_train}[exp]()
