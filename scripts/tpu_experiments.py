@@ -480,6 +480,24 @@ def beam_parts():
     ms = timed(scan16(approx_two_stage), h, table, prev, warmup=2, iters=5)
     report("beam_approx_two_stage_x16", ms)
 
+    def bf16_two_stage(h, table, prev):
+        # current beam formulation, but top-k/lse on the native bf16
+        # logits (no [B*K, V] f32 materialization); exact modulo tie
+        # order since the scores are bf16-born anyway
+        logits = h @ table.T                              # bf16
+        mx = jnp.max(logits, axis=-1, keepdims=True).astype(jnp.float32)
+        lse = jnp.log(jnp.sum(
+            jnp.exp(logits.astype(jnp.float32) - mx), axis=-1,
+            keepdims=True)) + mx
+        t1, i1 = jax.lax.top_k(logits, K + 1)
+        logp_top = t1.astype(jnp.float32) - lse
+        total = prev.reshape(B_ * K, 1) + logp_top
+        top, i2 = jax.lax.top_k(total.reshape(B_, K * (K + 1)), K)
+        return top.sum() + i2.sum() + i1.sum()
+
+    ms = timed(scan16(bf16_two_stage), h, table, prev, warmup=2, iters=5)
+    report("beam_bf16_two_stage_x16", ms)
+
 
 def suggest():
     """Decompose beam-5 decode: init vs full; beam width scaling."""
