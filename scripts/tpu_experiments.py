@@ -9,7 +9,13 @@ Experiments (each prints a JSON line per variant; ledger goes to PERF.md):
   gather        embedding-gather layout experiments (VERDICT r1 item #2)
   pool          fused slate-pool kernel vs the XLA einsum path
   suggest       where beam-5 decode time goes
-  gru           fused GRU kernel vs scan at bench shapes
+  gru / gru_small / gru_train  fused GRU kernels vs scan
+  scan_vs_fused [rows...]      LSTM scan/kernel crossover
+  score_e2e / train_e2e [rnn]  full CARS step, kernel vs scan config
+  beam_parts    beam-step top-k formulation shootout
+  indexed       cached-doc ranking, +/- cached pool projection
+  decode_step_only             model-side decode cost without beam logic
+  engine_host   host-inclusive Engine.rank_batch / suggest
 
 Every timing fences with jax.device_get (block_until_ready returns early
 under the axon tunnel, CLAUDE.md).  Budget ONE compile per variant; cold
@@ -306,6 +312,62 @@ def train_e2e():
                docs_per_sec=round(docs / ms, 1))
 
 
+def engine_host():
+    """Host-inclusive serving throughput: Engine.rank_batch with real text
+    requests (fastvec vectorization + H2D + compiled score + D2H)."""
+    from context_attentive_ir_tpu.config import default_config
+    from context_attentive_ir_tpu.data import build_dictionary
+    from context_attentive_ir_tpu.models import build_model
+    from context_attentive_ir_tpu.serve import Engine
+
+    rng = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(5000)]
+    word_dict = build_dictionary([words])
+    cfg = default_config("cars").replace(
+        vocab_size=len(word_dict), emsize=E, nhid=H,
+        max_query_len=15, max_doc_len=T, max_session_len=5,
+        num_candidates=50, compute_dtype="bfloat16",
+        dropout=0.0, dropout_emb=0.0, dropout_rnn=0.0)
+    model = build_model(cfg)
+    from context_attentive_ir_tpu.data import build_session_batch
+    from context_attentive_ir_tpu.data.objects import (
+        Document, Query, Session)
+
+    dummy = Session("s", [Query("q", ["w1"],
+                                [Document("d", ["w2"], 0)])])
+    from context_attentive_ir_tpu.train.trainer import shapes_from_config
+    probe = build_session_batch([dummy], word_dict,
+                                shapes_from_config(cfg), batch_size=1)
+    params = model.init({"params": jax.random.key(0)}, probe, True)["params"]
+    eng = Engine(cfg, word_dict, params, beam_size=5, batch_bucket=16)
+
+    def req():
+        q = " ".join(rng.choice(words, 6))
+        docs = [" ".join(rng.choice(words, 12)) for _ in range(50)]
+        hist = [" ".join(rng.choice(words, 5)) for _ in range(2)]
+        return (q, docs, hist)
+
+    reqs = [req() for _ in range(16)]
+    eng.rank_batch(reqs)  # compile
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        eng.rank_batch(reqs)
+    dt = (time.perf_counter() - t0) / iters
+    report("engine_rank_batch", dt,
+           requests_per_sec=round(len(reqs) / dt, 1),
+           docs_per_sec=round(len(reqs) * 50 / dt, 1))
+
+    sugg_hist = [" ".join(rng.choice(words, 5)) for _ in range(3)]
+    eng.suggest(sugg_hist)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        eng.suggest(sugg_hist)
+    dt = (time.perf_counter() - t0) / iters
+    report("engine_suggest_single", dt,
+           requests_per_sec=round(1 / dt, 1))
+
+
 def gru_train():
     """GRU fwd+bwd: chunked-remat kernel pair vs scan autodiff, 16k rows."""
     from context_attentive_ir_tpu.ops.pallas.gru import (
@@ -548,4 +610,5 @@ if __name__ == "__main__":
      "scan_vs_fused": scan_vs_fused, "gru_small": gru_small,
      "score_e2e": score_e2e, "train_e2e": train_e2e,
      "beam_parts": beam_parts, "indexed": indexed,
-     "decode_step_only": decode_step_only, "gru_train": gru_train}[exp]()
+     "decode_step_only": decode_step_only, "gru_train": gru_train,
+     "engine_host": engine_host}[exp]()
