@@ -99,6 +99,10 @@ class ModelConfig:
     # kernel loses to XLA (pool cost is intrinsic tanh/VPU work, not HBM
     # traffic -- PERF.md round-2 ledger); kept as a parity-tested option.
     use_pallas_slate: bool = False
+    # suggestion decode: per-turn cap on clicked docs encoded by
+    # CARS.encode_session_suggest (exact when turns have <= this many
+    # clicks; the slate's other N-C candidates are never encoded)
+    suggest_max_clicks: int = 4
     # serving-only: int8 per-row embedding table -- halves table memory
     # (use for very large vocabularies), costs ~20% lookup latency at
     # V=50k (PERF.md); enable via Engine.from_checkpoint(

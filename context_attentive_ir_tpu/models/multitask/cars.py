@@ -124,18 +124,22 @@ class CARS(nn.Module):
         """
         return self.doc_pool(d_states, proj_only=True)
 
-    def encode_session(self, batch: SessionBatch,
-                       deterministic: bool = True,
-                       d_states: jnp.ndarray | None = None,
-                       d_proj: jnp.ndarray | None = None):
+    def _encode_queries(self, batch: SessionBatch, deterministic: bool):
         B, S, Lq = batch.query.shape
         q = self.embeddings.lookup_padded(batch.query, deterministic)
-
         q_states, _ = self.query_encoder(
             q.reshape(B * S, Lq, -1), batch.query_mask.reshape(B * S, Lq),
             deterministic)
         q_states = q_states.reshape(B, S, Lq, -1)
         qv = self.query_pool(q_states, batch.query_mask)       # [B, S, H2]
+        return q_states, qv
+
+    def encode_session(self, batch: SessionBatch,
+                       deterministic: bool = True,
+                       d_states: jnp.ndarray | None = None,
+                       d_proj: jnp.ndarray | None = None):
+        B, S, Lq = batch.query.shape
+        q_states, qv = self._encode_queries(batch, deterministic)
 
         if d_states is None:
             d_states = self.encode_docs(batch.docs, batch.doc_mask,
@@ -160,6 +164,46 @@ class CARS(nn.Module):
         sc, _ = self.click_flow(click_repr, has_click)         # [B, S, H2]
 
         return q_states, qv, dv, sq, sc
+
+    def encode_session_suggest(self, batch: SessionBatch,
+                               deterministic: bool = True):
+        """Suggestion-only session encoding: encode ONLY the clicked docs.
+
+        The suggestion head needs document representations solely through
+        the click-flow (``click_repr`` aggregates the *clicked*
+        candidates, ~1/turn), yet ``encode_session`` encodes the whole
+        N=50 slate.  Gathering the top-``suggest_max_clicks`` clicked
+        candidates per turn before the doc encoder is EXACT whenever a
+        turn has at most that many clicks (per-doc pooling is row-
+        independent and zero-weight slots contribute nothing) and cuts
+        doc-encoder rows by N/C (~12.5x at bench shapes) --
+        tests/test_models.py asserts the decode_init equivalence.
+        """
+        cfg = self.config
+        B, S, Lq = batch.query.shape
+        q_states, qv = self._encode_queries(batch, deterministic)
+
+        clicks = batch.clicks * batch.cand_mask.astype(batch.clicks.dtype)
+        C = min(cfg.suggest_max_clicks, clicks.shape[-1])
+        cw, cidx = jax.lax.top_k(clicks, C)                    # [B, S, C]
+        docs_c = jnp.take_along_axis(batch.docs, cidx[..., None], axis=2)
+        mask_c = jnp.take_along_axis(batch.doc_mask, cidx[..., None],
+                                     axis=2)
+        mask_c = mask_c & (cw[..., None] > 0)   # unclicked slots -> empty
+        d_states = self.encode_docs(docs_c, mask_c, deterministic)
+        dv_c = self.doc_pool(d_states, mask_c,
+                             jnp.broadcast_to(qv[:, :, None, :],
+                                              d_states.shape[:3]
+                                              + (qv.shape[-1],)))
+        n_clicks = jnp.maximum(jnp.sum(cw, axis=-1, keepdims=True), 1.0)
+        click_repr = jnp.einsum("bsc,bsch->bsh",
+                                (cw / n_clicks).astype(dv_c.dtype), dv_c)
+        has_click = (jnp.sum(cw, axis=-1) > 0) & batch.turn_mask
+
+        sq, _ = self.query_flow(qv, batch.turn_mask)
+        sc, _ = self.click_flow(click_repr, has_click)
+        del B, S, Lq
+        return q_states, qv, sq, sc
 
     def context_attend(self, qv, sq, sc, turn_mask):
         """Gated attention over all previous query-flow + click-flow states.
@@ -237,7 +281,7 @@ class CARS(nn.Module):
         return self.rank_scores(q_ctx, dv)
 
     def decode_init(self, batch: SessionBatch):
-        q_states, qv, dv, sq, sc = self.encode_session(batch, True)
+        q_states, qv, sq, sc = self.encode_session_suggest(batch, True)
         q_ctx = self.context_attend(qv, sq, sc, batch.turn_mask)
         memory, mem_mask, init = self._decoder_inputs(q_states, q_ctx, sq,
                                                       sc, batch)

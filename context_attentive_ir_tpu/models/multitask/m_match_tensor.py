@@ -136,9 +136,23 @@ class MMatchTensor(nn.Module):
         _, z, sess = self.encode_session(batch, True)
         return self.rank_scores(z, sess)
 
+    def encode_queries(self, batch: SessionBatch,
+                       deterministic: bool = True):
+        """Query-only session state (see MNSRF.encode_queries): decoding
+        depends on the query-flow alone, so no doc/match-tensor work."""
+        B, S, Lq = batch.query.shape
+        q = self.embeddings.lookup_padded(batch.query, deterministic)
+        q_states, _ = self.query_encoder(
+            q.reshape(B * S, Lq, -1), batch.query_mask.reshape(B * S, Lq),
+            deterministic)
+        qv = masked_max(q_states.reshape(B, S, Lq, -1), batch.query_mask,
+                        axis=-2)
+        sess, _ = self.session_rnn(qv, batch.turn_mask)
+        return sess
+
     def decode_init(self, batch: SessionBatch):
         B, S, _ = batch.query.shape
-        _, _, sess = self.encode_session(batch, True)
+        sess = self.encode_queries(batch, True)
         memory = jnp.broadcast_to(sess[:, None], (B, S) + sess.shape[1:])
         memory = memory.reshape(B * S, S, -1)
         mem_mask = inclusive_causal_mask(batch.turn_mask).reshape(B * S, S)

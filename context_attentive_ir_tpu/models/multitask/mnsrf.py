@@ -124,9 +124,24 @@ class MNSRF(nn.Module):
 
     # -- inference -----------------------------------------------------------
 
+    def encode_queries(self, batch: SessionBatch,
+                       deterministic: bool = True):
+        """Query-only session state: the suggestion head depends on the
+        query-flow alone, so decoding never encodes the document slate
+        (a pure win over routing decode_init through encode_session)."""
+        B, S, Lq = batch.query.shape
+        q = self.embeddings.lookup_padded(batch.query, deterministic)
+        q_states, _ = self.query_encoder(
+            q.reshape(B * S, Lq, -1), batch.query_mask.reshape(B * S, Lq),
+            deterministic)
+        qv = masked_max(q_states.reshape(B, S, Lq, -1), batch.query_mask,
+                        axis=-2)
+        sess, _ = self.session_rnn(qv, batch.turn_mask)
+        return sess
+
     def decode_init(self, batch: SessionBatch):
         B, S, _ = batch.query.shape
-        _, _, sess = self.encode_session(batch, True)
+        sess = self.encode_queries(batch, True)
         memory = jnp.broadcast_to(sess[:, None], (B, S) + sess.shape[1:])
         memory = memory.reshape(B * S, S, -1)
         mem_mask = inclusive_causal_mask(batch.turn_mask).reshape(B * S, S)

@@ -187,3 +187,41 @@ def test_gru_and_multilayer_variants(data):
         params = model.init({"params": jax.random.key(0)}, batch, True)
         out = model.apply(params, batch, True)
         assert np.isfinite(np.asarray(out["scores"], np.float32)).all(), kw
+
+
+def test_suggest_fast_encode_paths_equivalent(data):
+    """decode_init's suggestion-only encoders (clicked-docs-only for CARS,
+    query-only for MNSRF/M-MatchTensor) must reproduce the full
+    encode_session quantities exactly."""
+    sessions, word_dict = data
+
+    # CARS: sparse click gather == full-slate click_repr (exact when
+    # clicks/turn <= suggest_max_clicks)
+    cfg = small_config("cars", len(word_dict))
+    model = build_model(cfg)
+    batch = _batch_for("cars", sessions, word_dict)
+    params = model.init({"params": jax.random.key(0)}, batch, True)
+    _, qv_f, _, sq_f, sc_f = model.apply(params, batch, True,
+                                         method=model.encode_session)
+    _, qv_s, sq_s, sc_s = model.apply(params, batch, True,
+                                      method=model.encode_session_suggest)
+    np.testing.assert_allclose(np.asarray(qv_s), np.asarray(qv_f),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sq_s), np.asarray(sq_f),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_f),
+                               atol=1e-5, rtol=1e-5)
+
+    # MNSRF / M-MatchTensor: query-only sess == encode_session's sess
+    for name in ("mnsrf", "m_match_tensor"):
+        cfg = small_config(name, len(word_dict))
+        model = build_model(cfg)
+        batch = _batch_for(name, sessions, word_dict)
+        params = model.init({"params": jax.random.key(0)}, batch, True)
+        full = model.apply(params, batch, True,
+                           method=model.encode_session)
+        sess_fast = model.apply(params, batch, True,
+                                method=model.encode_queries)
+        np.testing.assert_allclose(np.asarray(sess_fast),
+                                   np.asarray(full[2]), atol=1e-5,
+                                   rtol=1e-5), name
