@@ -240,6 +240,41 @@ def scan_vs_fused():
         report("lstm_fused", ms, rows=rows, time_chunk=6, block_b=512)
 
 
+def scan_unroll():
+    """lax.scan unroll factor on the (step-overhead-bound) LSTM scan."""
+    x, mask, w_ih, b, w_hh = _lstm_inputs()
+    H_ = w_hh.shape[0]
+
+    def run(unroll):
+        @jax.jit
+        def f(x, mask, w_ih, b, w_hh):
+            x_proj = x @ w_ih + b
+
+            def step(carry, inp):
+                h, c = carry
+                xp, m = inp
+                gates = xp + h @ w_hh
+                i, fg, g, o = jnp.split(gates, 4, axis=-1)
+                c_new = (jax.nn.sigmoid(fg) * c
+                         + jax.nn.sigmoid(i) * jnp.tanh(g))
+                h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+                m2 = m[:, None]
+                h = jnp.where(m2, h_new, h)
+                c = jnp.where(m2, c_new, c)
+                return (h, c), h
+
+            xs = (jnp.swapaxes(x_proj, 0, 1), jnp.swapaxes(mask, 0, 1))
+            h0 = jnp.zeros((x.shape[0], H_), x.dtype)
+            _, outs = jax.lax.scan(step, (h0, h0), xs, unroll=unroll)
+            return outs
+
+        return f
+
+    for unroll in (1, 2, 5):
+        ms = timed(run(unroll), x, mask, w_ih, b, w_hh)
+        report("lstm_scan_unroll", ms, unroll=unroll)
+
+
 def gru_small():
     from context_attentive_ir_tpu.ops.pallas.gru import (
         _gru_fused_impl,
@@ -611,4 +646,4 @@ if __name__ == "__main__":
      "score_e2e": score_e2e, "train_e2e": train_e2e,
      "beam_parts": beam_parts, "indexed": indexed,
      "decode_step_only": decode_step_only, "gru_train": gru_train,
-     "engine_host": engine_host}[exp]()
+     "engine_host": engine_host, "scan_unroll": scan_unroll}[exp]()
