@@ -8,8 +8,9 @@ VERDICT r1 missing item #3.
 
 Before timing, an on-chip kernel REGRESSION HARNESS (VERDICT r1 weak #5)
 asserts, at bf16 tolerance: fused Pallas LSTM forward + backward vs the
-lax.scan path, the fused slate-pool kernel vs its XLA reference, and a
-full CARS loss/grad match between the kernel and scan configurations.  A
+lax.scan path, the fused GRU pair vs scan autodiff, the fused slate-pool
+kernel vs its XLA reference, and a full CARS loss/grad match between the
+kernel and scan configurations.  A
 parity failure raises (the driver records a non-zero exit) rather than
 publishing numbers from a silently-wrong kernel.  Set BENCH_PARITY=0 to
 skip (debug only).
@@ -158,7 +159,35 @@ def kernel_parity_checks() -> dict:
     results["lstm_bwd_rel_err"] = max(_max_rel_err(a, b)
                                       for a, b in zip(gk, gs))
 
-    # 3. fused slate-pool kernel vs XLA reference
+    # 3. fused GRU forward + backward pair vs scan autodiff (the pair
+    #    carries GRU training since round 2)
+    from context_attentive_ir_tpu.ops.pallas.gru import (
+        gru_pallas_fused,
+        gru_pallas_reference,
+    )
+
+    w_ih3 = jnp.asarray(rng.normal(size=(e, 3 * h)) * 0.1, jnp.bfloat16)
+    b_ih3 = jnp.asarray(rng.normal(size=(3 * h,)) * 0.1, jnp.bfloat16)
+    w_hh3 = jnp.asarray(rng.normal(size=(h, 3 * h)) * 0.1, jnp.bfloat16)
+    b_hh3 = jnp.asarray(rng.normal(size=(3 * h,)) * 0.1, jnp.bfloat16)
+
+    def gloss_k(x, w_ih3, b_ih3, w_hh3, b_hh3):
+        return jnp.sum(gru_pallas_fused(x, mask, w_ih3, b_ih3, w_hh3,
+                                        b_hh3).astype(jnp.float32) ** 2)
+
+    def gloss_s(x, w_ih3, b_ih3, w_hh3, b_hh3):
+        return jnp.sum(gru_pallas_reference(x, mask, w_ih3, b_ih3, w_hh3,
+                                            b_hh3).astype(jnp.float32)
+                       ** 2)
+
+    gk = jax.device_get(jax.jit(jax.grad(gloss_k, argnums=(0, 2, 3)))(
+        x, w_ih3, b_ih3, w_hh3, b_hh3))
+    gs = jax.device_get(jax.jit(jax.grad(gloss_s, argnums=(0, 2, 3)))(
+        x, w_ih3, b_ih3, w_hh3, b_hh3))
+    results["gru_bwd_rel_err"] = max(_max_rel_err(a, b)
+                                     for a, b in zip(gk, gs))
+
+    # 4. fused slate-pool kernel vs XLA reference
     h2 = 2 * NHID
     states = jnp.asarray(rng.normal(size=(512, t, h2)) * 0.5, jnp.bfloat16)
     pmask = jnp.asarray(np.arange(t)[None, :]
@@ -173,7 +202,7 @@ def kernel_parity_checks() -> dict:
                                                      w_p, b_p))
     results["pool_rel_err"] = _max_rel_err(pk, pr)
 
-    # 4. end-to-end: CARS loss + grad-norm, kernel config vs scan config
+    # 5. end-to-end: CARS loss + grad-norm, kernel config vs scan config
     #    (same params -- the pallas flags do not change the param tree)
     cfg_k, model_k, params, batch = _build_cars(True, b=16, s=3, n=10,
                                                 vocab=4096)
@@ -200,6 +229,7 @@ def kernel_parity_checks() -> dict:
     results["train_gnorm_rel_err"] = abs(gnk - gns) / max(abs(gns), 1e-6)
 
     tol = {"lstm_fwd_rel_err": 0.05, "lstm_bwd_rel_err": 0.08,
+           "gru_bwd_rel_err": 0.08,
            "pool_rel_err": 0.05, "train_loss_rel_err": 0.02,
            "train_gnorm_rel_err": 0.08}
     bad = {k: v for k, v in tol.items() if results[k] > v}
