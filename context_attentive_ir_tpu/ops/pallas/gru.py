@@ -86,8 +86,10 @@ def _gru_fused_kernel(x_ref, mask_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
                    static_argnames=("reverse", "block_b", "time_chunk",
                                     "interpret"))
 def _gru_fused_impl(x, mask, w_ih, b_ih, w_hh, b_hh, reverse: bool = False,
-                    block_b: int = 512, time_chunk: int = 8,
+                    block_b: int = 512, time_chunk: int = 6,
                     interpret: bool = False):
+    # time_chunk tuned on v5e at the dispatch size (2000 rows, 30x256->
+    # 128 bf16): tc=6 3.10 ms vs tc=8 3.84 / tc=10 3.48 (PERF.md r2)
     x, w_ih, _E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
