@@ -152,9 +152,11 @@ def kernel_parity_checks() -> dict:
         return jnp.sum(lstm_pallas_reference(x @ w_ih + bias, mask, w_hh)
                        .astype(jnp.float32) ** 2)
 
-    gk = jax.device_get(jax.jit(jax.grad(loss_k, argnums=(0, 2, 3)))(
+    # all four gradients (x, w_ih, b, w_hh): dW_ih flows through the
+    # in-kernel input projection and must be covered on-chip (ADVICE r2)
+    gk = jax.device_get(jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3)))(
         x, w_ih, bias, w_hh))
-    gs = jax.device_get(jax.jit(jax.grad(loss_s, argnums=(0, 2, 3)))(
+    gs = jax.device_get(jax.jit(jax.grad(loss_s, argnums=(0, 1, 2, 3)))(
         x, w_ih, bias, w_hh))
     results["lstm_bwd_rel_err"] = max(_max_rel_err(a, b)
                                       for a, b in zip(gk, gs))
@@ -180,9 +182,12 @@ def kernel_parity_checks() -> dict:
                                             b_hh3).astype(jnp.float32)
                        ** 2)
 
-    gk = jax.device_get(jax.jit(jax.grad(gloss_k, argnums=(0, 2, 3)))(
+    # all five GRU gradients: db_hh is exactly where the n-gate ih/hh
+    # gradient asymmetry lives (ADVICE r2 -- previously only CPU interpret
+    # tests covered dW_ih / db_hh)
+    gk = jax.device_get(jax.jit(jax.grad(gloss_k, argnums=(0, 1, 2, 3, 4)))(
         x, w_ih3, b_ih3, w_hh3, b_hh3))
-    gs = jax.device_get(jax.jit(jax.grad(gloss_s, argnums=(0, 2, 3)))(
+    gs = jax.device_get(jax.jit(jax.grad(gloss_s, argnums=(0, 1, 2, 3, 4)))(
         x, w_ih3, b_ih3, w_hh3, b_hh3))
     results["gru_bwd_rel_err"] = max(_max_rel_err(a, b)
                                      for a, b in zip(gk, gs))

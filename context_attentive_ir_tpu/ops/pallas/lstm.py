@@ -669,9 +669,9 @@ def _lstm_scan_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
     return out[:B, :T], hb, cb
 
 
-# rows at/above which the scan forward beats the fused forward kernel
-# (round-2 on-chip crossover sweep, PERF.md)
-SCAN_FASTER_ROWS = 6000
+# inference kernel-vs-scan dispatch lives in ops/dispatch.py (measured
+# table + fallback crossover constant); re-exported for back-compat
+from ..dispatch import SCAN_FASTER_ROWS  # noqa: E402,F401
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

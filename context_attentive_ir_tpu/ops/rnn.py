@@ -167,29 +167,24 @@ class RNNLayer(nn.Module):
             return False
         if jax.default_backend() != "tpu":
             return False
-        # Inference crossover (round-2 on-chip sweep, PERF.md): the fused
-        # forward kernel beats the XLA scan below ~6k rows (batch-bound
-        # serving buckets) but loses above it (the scan's per-step
-        # overhead amortizes; the kernel's grid walk scales linearly).
-        # Training always prefers the LSTM kernel pair: the chunked-remat
-        # backward is the dominant, measured win (train step +29%).
-        infer_scan_faster = deterministic and x.shape[0] >= 6000
         if self.rnn_type == "lstm":
-            from .pallas.lstm import fused_supported
+            from .pallas.lstm import fused_supported as supported
+        elif self.rnn_type == "gru":
+            from .pallas.gru import gru_fused_supported as supported
+        else:
+            return False
+        if not supported(x.shape[-1], self.features, x.shape[0]):
+            return False
+        # Kernel-vs-scan choice comes from the on-chip-measured dispatch
+        # table (ops/dispatch.py; regenerated by scripts/tpu_experiments
+        # dispatch_table).  Training always prefers the kernel pair -- the
+        # chunked-remat backward is the dominant measured win (PERF.md).
+        from .dispatch import prefer_kernel
 
-            if not fused_supported(x.shape[-1], self.features, x.shape[0]):
-                return False
-            return not infer_scan_faster
-        if self.rnn_type == "gru":
-            # Same policy as LSTM: the GRU chunked-remat backward kernel
-            # carries training; inference obeys the scan crossover.
-            from .pallas.gru import gru_fused_supported
-
-            if infer_scan_faster:
-                return False
-            return gru_fused_supported(x.shape[-1], self.features,
-                                       x.shape[0])
-        return False
+        e = self.in_features or x.shape[-1]
+        return prefer_kernel(self.rnn_type, x.shape[0], x.shape[1], e,
+                             self.features, jnp.dtype(self.dtype).name,
+                             training=not deterministic)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -252,6 +247,11 @@ class RNNLayer(nn.Module):
                         x, mask, w_ih.astype(self.dtype),
                         b_ih.astype(self.dtype), w_hh.astype(self.dtype),
                         b_hh.astype(self.dtype), d == "bwd")
+                    # hT extraction assumes masks are contiguous-from-front
+                    # (length-based sequence_mask, the only producer in
+                    # this codebase): the kernel zeroes masked positions in
+                    # its output, so for an interior mask gap o[last-valid]
+                    # would differ from the carried state gru_scan returns.
                     if d == "bwd":
                         hT = o[:, 0]
                     else:

@@ -1,0 +1,112 @@
+"""Measured kernel-vs-scan dispatch (VERDICT r2 next-round #4).
+
+The table is on-chip data; these tests pin the lookup semantics: exact
+(kind, T, E, H, dtype) match, nearest row-count by log distance, fallback
+to the crossover constant for unmeasured shapes, and the training policy
+(kernel pair always).
+"""
+
+import json
+
+from context_attentive_ir_tpu.ops import dispatch
+
+
+def _with_table(tmp_path, entries):
+    p = tmp_path / "table.json"
+    p.write_text(json.dumps({"entries": entries}))
+    old = dispatch.TABLE_PATH
+    dispatch.TABLE_PATH = p
+    dispatch.reload_table()
+    return old
+
+
+def _restore(old):
+    dispatch.TABLE_PATH = old
+    dispatch.reload_table()
+
+
+def _entry(rows, kernel_ms, scan_ms, **kw):
+    base = dict(kind="lstm", mode="infer", t=30, e=256, h=128,
+                dtype="bfloat16", rows=rows, kernel_ms=kernel_ms,
+                scan_ms=scan_ms)
+    base.update(kw)
+    return base
+
+
+def test_training_always_kernel():
+    assert dispatch.prefer_kernel("lstm", 10 ** 6, 30, 256, 128,
+                                  "bfloat16", training=True)
+    assert dispatch.prefer_kernel("gru", 8, 5, 32, 128, "float32",
+                                  training=True)
+
+
+def test_nearest_row_point_decides(tmp_path):
+    old = _with_table(tmp_path, [
+        _entry(2000, kernel_ms=2.0, scan_ms=3.0),   # kernel wins
+        _entry(16000, kernel_ms=7.0, scan_ms=5.0),  # scan wins
+    ])
+    try:
+        pk = dispatch.prefer_kernel
+        assert pk("lstm", 1000, 30, 256, 128, "bfloat16", False)
+        assert pk("lstm", 3000, 30, 256, 128, "bfloat16", False)
+        assert not pk("lstm", 12000, 30, 256, 128, "bfloat16", False)
+        assert not pk("lstm", 10 ** 6, 30, 256, 128, "bfloat16", False)
+        # log-distance midpoint of 2000/16000 is ~5657
+        assert pk("lstm", 5000, 30, 256, 128, "bfloat16", False)
+        assert not pk("lstm", 7000, 30, 256, 128, "bfloat16", False)
+    finally:
+        _restore(old)
+
+
+def test_unmeasured_shape_falls_back_to_constant(tmp_path):
+    old = _with_table(tmp_path, [
+        _entry(2000, kernel_ms=9.0, scan_ms=1.0),  # kernel awful here...
+    ])
+    try:
+        # ...but a different T/dtype/kind does not match that entry, so the
+        # fallback crossover applies
+        for kind, t, dt in (("lstm", 15, "bfloat16"),
+                            ("lstm", 30, "float32"),
+                            ("gru", 30, "bfloat16")):
+            assert dispatch.prefer_kernel(
+                kind, dispatch.SCAN_FASTER_ROWS - 1, t, 256, 128, dt, False)
+            assert not dispatch.prefer_kernel(
+                kind, dispatch.SCAN_FASTER_ROWS, t, 256, 128, dt, False)
+    finally:
+        _restore(old)
+
+
+def test_missing_table_is_fallback(tmp_path):
+    old = _with_table(tmp_path, [])
+    try:
+        (tmp_path / "table.json").unlink()
+        dispatch.reload_table()
+        assert dispatch.prefer_kernel("lstm", 100, 30, 256, 128,
+                                      "bfloat16", False)
+        assert not dispatch.prefer_kernel("lstm", 60000, 30, 256, 128,
+                                          "bfloat16", False)
+    finally:
+        _restore(old)
+
+
+def test_checked_in_table_round2_points():
+    """The shipped table reproduces the round-2 measured policy at the
+    bench shapes."""
+    dispatch.reload_table()
+    pk = dispatch.prefer_kernel
+    assert pk("lstm", 2000, 30, 256, 128, "bfloat16", False)
+    assert not pk("lstm", 16000, 30, 256, 128, "bfloat16", False)
+    assert pk("gru", 2000, 30, 256, 128, "bfloat16", False)
+    assert not pk("gru", 16000, 30, 256, 128, "bfloat16", False)
+
+
+def test_write_table_round_trip(tmp_path):
+    old = dispatch.TABLE_PATH
+    try:
+        dispatch.TABLE_PATH = tmp_path / "out.json"
+        dispatch.write_table([_entry(4000, 1.0, 2.0)],
+                             path=dispatch.TABLE_PATH)
+        assert dispatch.prefer_kernel("lstm", 4000, 30, 256, 128,
+                                      "bfloat16", False)
+    finally:
+        _restore(old)
