@@ -34,7 +34,7 @@ ARCHITECTURE_FIELDS = (
     "nhid_ffnn", "pool_size", "nfilters", "filter_widths", "session_rnn_type",
     "use_charngram", "regularize_coeff", "alpha", "tie_embeddings",
     "max_query_len", "max_doc_len", "max_session_len", "num_candidates",
-    "loss_type", "margin",
+    "loss_type", "margin", "ablate_history",
 )
 
 # Optimizer/runtime fields (the reference's MODEL_OPTIMIZER whitelist).
@@ -74,6 +74,10 @@ class ModelConfig:
     alpha: float = 1.0            # multitask mix: L = L_rank + alpha * L_gen
     loss_type: str = "listwise"   # 'listwise' | 'pairwise' | 'pointwise'
     margin: float = 1.0           # pairwise hinge margin
+    # diagnostic ablation: seq2seq encodes ONLY the current query (no
+    # session history) -- the history-blind floor of the suggestion
+    # capability ladder (RESULTS.md; VERDICT r2 next-round #1)
+    ablate_history: bool = False
     # static shapes
     max_query_len: int = MAX_QUERY_LEN
     max_doc_len: int = MAX_DOC_LEN

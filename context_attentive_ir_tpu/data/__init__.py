@@ -12,9 +12,11 @@ from .synthetic import (
     ambiguous_vocab,
     generate_ambiguous_sessions,
     generate_sessions,
+    generate_suggestion_sessions,
     write_ambiguous_fixture,
     write_fixture,
     write_glove_fixture,
+    write_suggestion_fixture,
 )
 from .vectorize import (
     RankBatch,
@@ -43,9 +45,11 @@ __all__ = [
     "ambiguous_vocab",
     "generate_ambiguous_sessions",
     "generate_sessions",
+    "generate_suggestion_sessions",
     "write_ambiguous_fixture",
     "write_fixture",
     "write_glove_fixture",
+    "write_suggestion_fixture",
     "RankBatch",
     "SessionBatch",
     "ShapeConfig",

@@ -49,6 +49,21 @@ class Seq2seq(nn.Module):
                                    dtype=dt)
 
     def encode(self, batch: SuggestBatch, deterministic: bool = True):
+        if self.config.ablate_history:
+            # history-blind floor (config.ablate_history): encode ONLY the
+            # last valid context turn (the current query) -- everything an
+            # ahistorical suggester can see.  Used as the falsifiable
+            # lower rung of the suggestion capability ladder (RESULTS.md).
+            import jax.numpy as jnp
+
+            counts = jnp.sum(batch.turn_mask.astype(jnp.int32), axis=-1)
+            idx = jnp.maximum(counts - 1, 0)[:, None, None]
+            cur = jnp.take_along_axis(batch.context, idx, axis=1)[:, 0]
+            cur_mask = jnp.take_along_axis(batch.context_mask, idx,
+                                           axis=1)[:, 0]
+            src = self.embeddings.lookup_padded(cur, deterministic)
+            memory, final = self.encoder(src, cur_mask, deterministic)
+            return memory, cur_mask, final
         src = self.embeddings.lookup_padded(batch.source, deterministic)
         memory, final = self.encoder(src, batch.source_mask, deterministic)
         return memory, batch.source_mask, final

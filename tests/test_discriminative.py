@@ -217,3 +217,138 @@ def test_cars_beats_session_blind_dssm(gate_data, tmp_path):
             if cars_map >= bar:
                 break
     assert cars_map >= bar, (cars_map, dssm_map)
+
+
+# ---------------------------------------------------------------------------
+# suggestion-discriminative (long-chain) corpus: structural properties
+# (VERDICT r2 missing #1 / next-round #1)
+# ---------------------------------------------------------------------------
+
+
+def _long_sessions(**kw):
+    from context_attentive_ir_tpu.data.synthetic import (
+        generate_suggestion_sessions,
+    )
+    return generate_suggestion_sessions(**kw)
+
+
+def test_suggestion_targets_are_bleu4_meaningful():
+    """Every target (next query) has 5 tokens -> 2 valid 4-grams each; the
+    round-2 corpus had 2-token targets and degenerate BLEU-4."""
+    for sess in _long_sessions(n_sessions=48, seed=1):
+        qs = [q["text"].split() for q in sess["query"]]
+        for nxt in qs[1:]:
+            assert len(nxt) == 5, nxt
+
+
+def test_suggestion_crossing_is_context_dependent():
+    """Identical ambiguous current queries (the all-middle window) are
+    followed by divergent next queries; the divergence covers BOTH of the
+    target's 4-grams, so a history-blind generator is structurally capped
+    on BLEU-4 (not just BLEU-1)."""
+    succ: dict[str, set[str]] = {}
+    for sess in _long_sessions(n_sessions=96, seed=0):
+        qs = [q["text"] for q in sess["query"]]
+        for cur, nxt in zip(qs, qs[1:]):
+            succ.setdefault(cur, set()).add(nxt)
+    amb = {k: v for k, v in succ.items() if len(v) > 1}
+    assert amb, "no context-dependent targets"
+    for cur, nxts in amb.items():
+        pair = sorted(nxts)
+        assert len(pair) == 2
+        a, b = (p.split() for p in pair)
+        # first two tokens shared (middle), last three chain-specific
+        assert a[:2] == b[:2] and all(x != y for x, y in zip(a[2:], b[2:]))
+        grams_a = {tuple(a[i:i + 4]) for i in range(2)}
+        grams_b = {tuple(b[i:i + 4]) for i in range(2)}
+        assert not grams_a & grams_b, "a 4-gram survives the divergence"
+
+
+def test_suggestion_chain_balance():
+    """Both chains appear equally often per (group, sense, mode)."""
+    from collections import Counter
+
+    counts = Counter()
+    for sess in _long_sessions(n_sessions=96, seed=0):
+        q0 = sess["query"][0]["text"].split()
+        prefix = q0[0]          # g{k}px / g{k}py
+        counts[prefix] += 1
+    by_group: dict[str, dict[str, int]] = {}
+    for p, n in counts.items():
+        by_group.setdefault(p[:-2], {})[p[-2:]] = n
+    for g, d in by_group.items():
+        assert d.get("px", 0) == d.get("py", 0), (g, d)
+
+
+def test_long_corpus_ranking_still_ambiguous():
+    """The ranking construction carries over: on non-keyed turns clicked
+    and confuser docs overlap the query identically."""
+    for sess in _long_sessions(n_sessions=24, seed=3):
+        for t, q in enumerate(sess["query"]):
+            qt = set(q["text"].split())
+            clicked = [c for c in q["candidates"] if c["label"] == 1]
+            assert len(clicked) == 1
+            ov_c = len(qt & set(clicked[0]["title"].split()))
+            confusers = sorted(
+                (len(qt & set(c["title"].split()))
+                 for c in q["candidates"] if c["label"] == 0),
+                reverse=True)[:N_CONFUSERS]
+            keyed = t == 0 and any("sa" in w or "sb" in w for w in qt)
+            if keyed:
+                assert ov_c > max(confusers)
+            else:
+                assert ov_c == max(confusers) == min(confusers)
+
+
+def _suggestion_oracles(sessions) -> tuple[float, float]:
+    """Corpus BLEU-4 of (a) the OPTIMAL history-blind generator (knows the
+    chain tables, picks a fixed chain at ambiguous windows) and (b) a
+    history-aware oracle (reads turn 0's prefix)."""
+    from context_attentive_ir_tpu.data.synthetic import (
+        _group_vocab_long,
+        chain_windows,
+    )
+    from context_attentive_ir_tpu.eval import corpus_bleu
+
+    chains: dict[int, dict[str, list[list[str]]]] = {}
+
+    def windows_for(k):
+        if k not in chains:
+            g = _group_vocab_long(k)
+            chains[k] = {c: chain_windows(g[c])
+                         for c in ("chain_x", "chain_y")}
+        return chains[k]
+
+    blind_hyps, ctx_hyps, refs = [], [], []
+    for sess in sessions:
+        q0 = sess["query"][0]["text"].split()
+        k = int(q0[0][1:].split("p")[0].replace("x", "").replace("y", ""))
+        true_chain = "chain_x" if q0[0].endswith("px") else "chain_y"
+        for cur_q, nxt_q in zip(sess["query"], sess["query"][1:]):
+            cur = [w for w in cur_q["text"].split()
+                   if "sa" not in w and "sb" not in w]
+            ref = nxt_q["text"].split()
+            preds = {}
+            for cname, ws in windows_for(k).items():
+                for i, w in enumerate(ws[:-1]):
+                    if w == cur:
+                        preds[cname] = ws[i + 1]
+            assert preds, (cur, k)
+            # blind: deterministic tie-break (always chain_x if ambiguous)
+            blind_hyps.append(preds.get("chain_x") or preds["chain_y"])
+            ctx_hyps.append(preds[true_chain])
+            refs.append([ref])
+    blind = corpus_bleu(blind_hyps, refs, max_n=4)[3]
+    ctx = corpus_bleu(ctx_hyps, refs, max_n=4)[3]
+    return blind, ctx
+
+
+def test_suggestion_oracle_separation():
+    """Even the OPTIMAL blind generator is capped well below the context
+    oracle on corpus BLEU-4 -- the suggestion half of the corpus is
+    discriminative by construction."""
+    sessions = _long_sessions(n_sessions=192, seed=7)
+    blind, ctx = _suggestion_oracles(sessions)
+    assert ctx > 0.99, ctx
+    assert blind < 0.87, blind
+    assert ctx - blind > 0.12, (blind, ctx)
