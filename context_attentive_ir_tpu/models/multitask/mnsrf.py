@@ -59,6 +59,7 @@ class MNSRF(nn.Module):
                    in_features=cfg.emsize)
         self.session_rnn = RNNLayer(self._h2, cfg.session_rnn_type,
                                     bidirectional=False, dtype=dt)
+        self.sess_mix = nn.Dense(self._h2, dtype=dt)
         self.rank_mlp = MLP((cfg.nhid_ffnn, 1), activation=jnp.tanh,
                             final_activation=False, dropout=cfg.dropout,
                             dtype=dt)
@@ -95,11 +96,20 @@ class MNSRF(nn.Module):
         return qv, dv, sess
 
     def rank_scores(self, qv, dv, sess):
-        N = dv.shape[2]
-        qb = jnp.broadcast_to(qv[:, :, None, :], dv.shape)
-        sb = jnp.broadcast_to(sess[:, :, None, :], dv.shape)
-        feats = jnp.concatenate([qb, dv, qb * dv, sb], axis=-1)
-        del N
+        # Session-aware query representation, interacted MULTIPLICATIVELY
+        # with the document (SURVEY.md SS2.6: "MLP/bilinear on (query,
+        # doc, session-state)").  Root-caused in round 3 (VERDICT r2
+        # next-round #2): the earlier additive concat [q, d, q*d, s]
+        # plateaus at MAP ~0.63 on a query-keyed-only discriminative
+        # corpus at every lr/epoch budget tried (60 epochs, lr 3e-3/1e-2)
+        # because ranking there requires a session-state x doc-content
+        # product the MLP must synthesize from raw concat inputs; forming
+        # q~ = tanh(W[q; s]) and feeding [q~, d, q~*d] gives the
+        # interaction directly -- same recipe, MAP 0.88 (phase transition
+        # at ~epoch 40).  See RESULTS.md ladder.
+        qs = jnp.tanh(self.sess_mix(jnp.concatenate([qv, sess], -1)))
+        qb = jnp.broadcast_to(qs[:, :, None, :], dv.shape)
+        feats = jnp.concatenate([qb, dv, qb * dv], axis=-1)
         return self.rank_mlp(feats, True)[..., 0]             # [B, S, N]
 
     # -- forward -------------------------------------------------------------

@@ -33,7 +33,9 @@ from context_attentive_ir_tpu.data import (  # noqa: E402
     write_ambiguous_fixture,
     write_fixture,
     write_glove_fixture,
+    write_suggestion_fixture,
 )
+from context_attentive_ir_tpu.data.synthetic import suggestion_vocab  # noqa: E402
 from context_attentive_ir_tpu.train import Trainer  # noqa: E402
 from context_attentive_ir_tpu.utils import format_table, setup_logging  # noqa: E402
 
@@ -46,6 +48,12 @@ DIMS = dict(emsize=64, nhid=64, nhid_ffnn=128, nfilters=32,
 AMBIG_DIMS = dict(emsize=64, nhid=64, nhid_ffnn=128, nfilters=32,
                   max_query_len=4, max_doc_len=6, max_session_len=5,
                   num_candidates=50, compute_dtype="bfloat16")
+# long-chain corpus (round 3): 5-token windows, 5-token targets -> BLEU-4
+# is meaningful and the crossing target is history-dependent
+# (data/synthetic.py generate_suggestion_sessions)
+SUGGEST_DIMS = dict(emsize=64, nhid=64, nhid_ffnn=128, nfilters=32,
+                    max_query_len=6, max_doc_len=8, max_session_len=4,
+                    num_candidates=50, compute_dtype="bfloat16")
 
 
 def main():
@@ -53,7 +61,7 @@ def main():
     ap.add_argument("--out", default=str(ROOT / "RESULTS.md"))
     ap.add_argument("--data_dir", default="/tmp/suite_data")
     ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--corpus", choices=("topic", "ambiguous"),
+    ap.add_argument("--corpus", choices=("topic", "ambiguous", "suggestion"),
                     default="ambiguous")
     ap.add_argument("--num_candidates", type=int, default=0,
                     help="override slate size (0 = corpus default)")
@@ -63,11 +71,21 @@ def main():
     setup_logging()
 
     data = Path(args.data_dir)
-    dims = dict(AMBIG_DIMS if args.corpus == "ambiguous" else DIMS)
+    dims = dict(AMBIG_DIMS if args.corpus == "ambiguous"
+                else SUGGEST_DIMS if args.corpus == "suggestion" else DIMS)
     if args.num_candidates:
         dims["num_candidates"] = args.num_candidates
     n_cand = dims["num_candidates"]
-    if args.corpus == "ambiguous":
+    if args.corpus == "suggestion":
+        write_suggestion_fixture(data / "train.jsonl", n_sessions=960,
+                                 n_candidates=n_cand, seed=0)
+        write_suggestion_fixture(data / "dev.jsonl", n_sessions=144,
+                                 n_candidates=n_cand, seed=1)
+        write_suggestion_fixture(data / "test.jsonl", n_sessions=192,
+                                 n_candidates=n_cand, seed=2)
+        glove = write_glove_fixture(data / "glove.txt", dim=dims["emsize"],
+                                    vocab=suggestion_vocab())
+    elif args.corpus == "ambiguous":
         write_ambiguous_fixture(data / "train.jsonl", n_sessions=960,
                                 n_candidates=n_cand, seed=0)
         write_ambiguous_fixture(data / "dev.jsonl", n_sessions=144,
@@ -108,10 +126,15 @@ def main():
             rows.append(done[model_type])
             print(f"== {model_type} cached: {done[model_type]}", flush=True)
             continue
-        cfg = default_config(model_type).replace(
-            vocab_size=len(word_dict), **dims)
-        fam = ("ranker" if model_type in RANKERS else
-               "recommender" if model_type in RECOMMENDERS else "multitask")
+        # 'seq2seq_ablated' = seq2seq with config.ablate_history: the
+        # history-blind floor of the suggestion ladder (VERDICT r2 #1)
+        base_type = model_type.replace("_ablated", "")
+        extra = {"ablate_history": True} if model_type.endswith("_ablated") \
+            else {}
+        cfg = default_config(base_type).replace(
+            vocab_size=len(word_dict), **dims, **extra)
+        fam = ("ranker" if base_type in RANKERS else
+               "recommender" if base_type in RECOMMENDERS else "multitask")
         # multitask models on the ambiguous corpus cross the tie-ceiling
         # plateau only after ~300-600 steps (tests/test_discriminative.py),
         # so they get a longer budget and patience there
