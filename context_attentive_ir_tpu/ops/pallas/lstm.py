@@ -254,14 +254,20 @@ def _lstm_fused_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref, out_ref,
 
     hs = h_scr[:]
     cs = c_scr[:]
-    steps = range(tc - 1, -1, -1) if reverse else range(tc)
+    steps = list(range(tc - 1, -1, -1) if reverse else range(tc))
+    bias = b_ref[0, :].astype(jnp.float32)[None, :]
+    # HOIST all input-projection dots ahead of the recurrence: they are
+    # independent of the carried state, and issuing them back-to-back
+    # lets Mosaic pipeline the MXU instead of interleaving each dot with
+    # the dependent gate math (round-3 on-chip: 7.22 -> 6.35 ms at
+    # [16000, 30, 256]->128; PERF.md r3 ledger)
+    xp = {k: jnp.dot(x_ref[:, k * e:(k + 1) * e], wih_ref[:],
+                     preferred_element_type=jnp.float32)
+          for k in steps}
     for k in steps:
-        x_t = x_ref[:, k * e:(k + 1) * e]
-        gates = jnp.dot(x_t, wih_ref[:],
-                        preferred_element_type=jnp.float32)
+        gates = xp[k] + bias
         gates += jnp.dot(hs.astype(whh_ref.dtype), whh_ref[:],
                          preferred_element_type=jnp.float32)
-        gates += b_ref[0, :].astype(jnp.float32)[None, :]
         i = jax.nn.sigmoid(gates[:, :h])
         f = jax.nn.sigmoid(gates[:, h:2 * h])
         g = jnp.tanh(gates[:, 2 * h:3 * h])
@@ -280,11 +286,14 @@ def _lstm_fused_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref, out_ref,
                    static_argnames=("reverse", "block_b", "time_chunk",
                                     "interpret"))
 def _lstm_fused_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
-                     block_b: int = 512, time_chunk: int = 6,
+                     block_b: int = 128, time_chunk: int = 6,
                      interpret: bool = False):
-    # defaults tile-tuned on v5e at bench shapes (round 2 sweep, PERF.md):
-    # (tc=6, bb=512) 7.50 ms vs (8, 512) 8.59 / (10, 512) 7.90 /
-    # (8, 256) 7.91 / (15, 512) 7.95 at [16000, 30, 256]->128 bf16
+    # defaults re-tuned on v5e with the hoisted projections (round 3,
+    # PERF.md r3 ledger): at 2000 rows (the serving dispatch bucket)
+    # hoisted (tc=6, bb=128) 3.63 ms vs unhoisted (6, 512) 3.91 within
+    # run; at 16000 rows hoisted bb=128 6.35-6.78 vs 7.2-7.9 unhoisted
+    # (bb=512 with hoisting is pathological: 13.6 ms -- the six live
+    # [512, 4H] f32 gate buffers spill VMEM)
     x, w_ih, _E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
@@ -396,10 +405,13 @@ def _lstm_fused_bwd_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref,
     hs = hb_ref[0]
     cs = cb_ref[0]
     ks = list(range(tc - 1, -1, -1) if reverse else range(tc))
+    # hoisted projection dots (independent of the recurrence; see the
+    # forward kernel's note)
+    xp = {k: jnp.dot(x_ref[:, k * e:(k + 1) * e], wih_ref[:],
+                     preferred_element_type=jnp.float32) for k in ks}
     saved = []  # per step: (h_prev, c_prev, i, f, g, o, c_new, m)
     for k in ks:
-        x_t = x_ref[:, k * e:(k + 1) * e]
-        gates = jnp.dot(x_t, wih_ref[:], preferred_element_type=jnp.float32)
+        gates = xp[k]
         gates += jnp.dot(hs.astype(cdt), whh_ref[:],
                          preferred_element_type=jnp.float32)
         gates += b_ref[0, :].astype(jnp.float32)[None, :]
@@ -457,13 +469,14 @@ def _lstm_fused_bwd_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref,
                    static_argnames=("reverse", "block_b", "time_chunk",
                                     "interpret"))
 def _lstm_fused_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
-                         block_b: int = 256, time_chunk: int = 6,
+                         block_b: int = 128, time_chunk: int = 6,
                          interpret: bool = False):
     """Forward returning (out, h_bnd, c_bnd) for the kernel backward.
 
-    Defaults tile-tuned on v5e (round-2 sweep, PERF.md): res+bwd pair
-    (tc=6, bb=256) 19.43 ms vs (4,256) 20.49 / (8,256) 19.82 /
-    (4,512) 20.44 at [16000, 30, 256]->128 bf16."""
+    Defaults re-tuned round 3 (PERF.md r3 ledger): res+bwd pair (tc=6,
+    bb=128) 16.94 ms vs (6, 256) 19.65 at [16000, 30, 256]->128 bf16 --
+    the win is the smaller batch tile (unhoisted (6,128) measures 17.01,
+    so the pair benefit is tiling, the fwd benefit is the hoist)."""
     x, w_ih, _E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
@@ -525,9 +538,10 @@ def _lstm_fused_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
                    static_argnames=("reverse", "block_b", "time_chunk",
                                     "interpret"))
 def _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, dout,
-                         reverse: bool = False, block_b: int = 256,
+                         reverse: bool = False, block_b: int = 128,
                          time_chunk: int = 6, interpret: bool = False):
-    # time_chunk must match _lstm_fused_res_impl (chunk-boundary layout)
+    # block_b/time_chunk must match _lstm_fused_res_impl (chunk-boundary
+    # layout); defaults re-tuned round 3 (see res impl docstring)
     x, w_ih, E_orig = _pad_embed(x, w_ih)
     B, T, E = x.shape
     H = w_hh.shape[0]
@@ -607,7 +621,7 @@ def _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, dout,
 @functools.partial(jax.jit,
                    static_argnames=("reverse", "block_b", "time_chunk"))
 def _lstm_scan_res_impl(x, mask, w_ih, b, w_hh, reverse: bool = False,
-                        block_b: int = 256, time_chunk: int = 6):
+                        block_b: int = 128, time_chunk: int = 6):
     """Scan forward emitting the same (out, h_bnd, c_bnd) residual layout
     as ``_lstm_fused_res_impl`` for the chunked-remat backward kernel.
 

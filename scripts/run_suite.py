@@ -135,12 +135,14 @@ def main():
             vocab_size=len(word_dict), **dims, **extra)
         fam = ("ranker" if base_type in RANKERS else
                "recommender" if base_type in RECOMMENDERS else "multitask")
-        # multitask models on the ambiguous corpus cross the tie-ceiling
-        # plateau only after ~300-600 steps (tests/test_discriminative.py),
-        # so they get a longer budget and patience there
+        # multitask models on the discriminative corpora cross the
+        # tie-ceiling plateau only after a phase transition (CARS ~300-600
+        # steps; the fixed M-NSRF ~700-800 at gate dims --
+        # tests/test_discriminative.py, PERF.md r3), so they get a longer
+        # budget and patience there
         epochs, early = args.epochs, 3
-        if args.corpus == "ambiguous" and fam == "multitask":
-            epochs, early = max(args.epochs, 24), 12
+        if args.corpus in ("ambiguous", "suggestion") and fam == "multitask":
+            epochs, early = max(args.epochs, 48), 24
         run = RunConfig(
             model_dir=str(data / "runs"), model_name=model_type,
             batch_size=32, test_batch_size=32,

@@ -433,15 +433,69 @@ def large_r2():
     ref = np.asarray(jax.device_get(jax.jit(lstm_pallas_reference)(
         (x @ w_ih + b), mask, w_hh)), np.float32)
     for mode in (("hoist", "batch") if variant == "both" else (variant,)):
-        for bb in bbs:
-            fn = ft.partial(run, block_b=bb, time_chunk=6, mode=mode)
+        # Mosaic requires the 3-D x block's second-to-last dim (the time
+        # chunk) to be 8-divisible, so the batched-projection variant runs
+        # at tc=8; the 2-D hoist variant keeps the tuned tc=6
+        tcs = (8,) if mode == "batch" else (6, 10, 15)
+        for tc in tcs:
+          for bb in bbs:
+            fn = ft.partial(run, block_b=bb, time_chunk=tc, mode=mode)
             out = np.asarray(jax.device_get(fn(x, mask, w_ih, b, w_hh)),
                              np.float32)
             err = float(np.max(np.abs(out - ref))) / max(
                 float(np.max(np.abs(ref))), 1e-6)
             ms = timed(fn, x, mask, w_ih, b, w_hh)
-            report(f"lr2_{mode}", ms, rows=rows, block_b=bb,
+            report(f"lr2_{mode}", ms, rows=rows, block_b=bb, time_chunk=tc,
                    rel_err=round(err, 4))
+
+
+def hoist_check():
+    """Validate the productionized hoisted-projection kernels at the
+    serving (2000-row) and training shapes, to pick tile defaults."""
+    from context_attentive_ir_tpu.ops.pallas.gru import _gru_fused_impl
+    from context_attentive_ir_tpu.ops.pallas.lstm import (
+        _lstm_fused_bwd_impl,
+        _lstm_fused_impl,
+        _lstm_fused_res_impl,
+    )
+
+    # forward at the sub-crossover serving bucket
+    x, mask, w_ih, b, w_hh = _lstm_inputs(rows=2000)
+    for tc, bb in ((6, 512), (6, 128), (10, 128)):
+        fn = functools.partial(_lstm_fused_impl, block_b=bb, time_chunk=tc)
+        ms = timed(fn, x, mask, w_ih, b, w_hh)
+        report("hoist_fwd2000", ms, time_chunk=tc, block_b=bb)
+
+    # training pair at the bench shape (r2 best: tc=6 bb=256, 19.43 ms)
+    x, mask, w_ih, b, w_hh = _lstm_inputs(rows=16000)
+    g = jnp.ones((16000, T, H), jnp.bfloat16)
+    for tc, bb in ((6, 256), (6, 128)):
+        res = functools.partial(_lstm_fused_res_impl, block_b=bb,
+                                time_chunk=tc)
+        ms_f = timed(res, x, mask, w_ih, b, w_hh)
+        _, hb, cb = res(x, mask, w_ih, b, w_hh)
+
+        def bwd(x, mask, w_ih, b, w_hh, hb, cb, g, _tc=tc, _bb=bb):
+            return _lstm_fused_bwd_impl(x, mask, w_ih, b, w_hh, hb, cb, g,
+                                        block_b=_bb, time_chunk=_tc)
+
+        ms_b = timed(bwd, x, mask, w_ih, b, w_hh, hb, cb, g)
+        report("hoist_pair16k", ms_f + ms_b, fwd_ms=round(ms_f * 1e3, 3),
+               bwd_ms=round(ms_b * 1e3, 3), time_chunk=tc, block_b=bb)
+
+    # GRU forward at its dispatch bucket (r2 best: tc=6 bb=512, 3.10 ms)
+    rng = np.random.RandomState(0)
+    rows = 2000
+    x = jnp.asarray(rng.normal(size=(rows, T, E)) * 0.3, jnp.bfloat16)
+    w_ih3 = jnp.asarray(rng.normal(size=(E, 3 * H)) * 0.1, jnp.bfloat16)
+    b_ih3 = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
+    w_hh3 = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.1, jnp.bfloat16)
+    b_hh3 = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
+    mask = jnp.ones((rows, T), bool)
+    for tc, bb in ((6, 512), (6, 128)):
+        fn = functools.partial(_gru_fused_impl, block_b=bb, time_chunk=tc)
+        ms = timed(fn, x, mask, w_ih3, b_ih3, w_hh3, b_hh3)
+        report("hoist_gru2000", ms, time_chunk=tc, block_b=bb)
 
 
 def dispatch_table():
@@ -463,6 +517,12 @@ def dispatch_table():
     rows_list = [int(r) for r in sys.argv[2:]] or [2000, 8000, 16000]
     entries = []
     rng = np.random.RandomState(0)
+
+    # tunnel timing jitters +/-15% between passes (PERF.md r3): measure
+    # each path twice and keep the min so one hiccup can't flip dispatch
+    def timed2(fn, *args):
+        return min(timed(fn, *args), timed(fn, *args))
+
     for rows in rows_list:
         x, mask, w_ih, b, w_hh = _lstm_inputs(rows=rows)
 
@@ -470,9 +530,9 @@ def dispatch_table():
         def scan_path(x, mask, w_ih, b, w_hh):
             return lstm_pallas_reference(x @ w_ih + b, mask, w_hh)
 
-        scan_ms = timed(scan_path, x, mask, w_ih, b, w_hh) * 1e3
-        kern_ms = timed(jax.jit(functools.partial(_lstm_fused_impl)),
-                        x, mask, w_ih, b, w_hh) * 1e3
+        scan_ms = timed2(scan_path, x, mask, w_ih, b, w_hh) * 1e3
+        kern_ms = timed2(jax.jit(functools.partial(_lstm_fused_impl)),
+                         x, mask, w_ih, b, w_hh) * 1e3
         e = dict(kind="lstm", mode="infer", t=T, e=E, h=H,
                  dtype="bfloat16", rows=rows,
                  kernel_ms=round(kern_ms, 3), scan_ms=round(scan_ms, 3))
@@ -484,10 +544,10 @@ def dispatch_table():
         b_ih3 = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
         w_hh3 = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.1, jnp.bfloat16)
         b_hh3 = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
-        gscan_ms = timed(jax.jit(gru_pallas_reference), x, mask, w_ih3,
-                         b_ih3, w_hh3, b_hh3) * 1e3
-        gkern_ms = timed(jax.jit(functools.partial(_gru_fused_impl)),
-                         x, mask, w_ih3, b_ih3, w_hh3, b_hh3) * 1e3
+        gscan_ms = timed2(jax.jit(gru_pallas_reference), x, mask, w_ih3,
+                          b_ih3, w_hh3, b_hh3) * 1e3
+        gkern_ms = timed2(jax.jit(functools.partial(_gru_fused_impl)),
+                          x, mask, w_ih3, b_ih3, w_hh3, b_hh3) * 1e3
         entries.append(dict(kind="gru", mode="infer", t=T, e=E, h=H,
                             dtype="bfloat16", rows=rows,
                             kernel_ms=round(gkern_ms, 3),
@@ -918,5 +978,5 @@ if __name__ == "__main__":
      "beam_parts": beam_parts, "indexed": indexed,
      "decode_step_only": decode_step_only, "gru_train": gru_train,
      "engine_host": engine_host, "scan_unroll": scan_unroll,
-     "large_r": large_r, "large_r2": large_r2,
+     "large_r": large_r, "large_r2": large_r2, "hoist_check": hoist_check,
      "dispatch_table": dispatch_table}[exp]()
