@@ -498,6 +498,84 @@ def hoist_check():
         report("hoist_gru2000", ms, time_chunk=tc, block_b=bb)
 
 
+def scale_bucketing():
+    """AOL-shape scale evidence (VERDICT r2 next-round #10): one CARS
+    training epoch at vocab=100k, sessions up to S=10 with an AOL-like
+    length distribution (most sessions 2-3 turns), bucketed
+    (session_buckets=(3, 5, 10)) vs flat padding to S=10.  Reports wall
+    time and trained docs/sec for both -- the bucketing win SURVEY SS7
+    hard part (a) promises."""
+    from context_attentive_ir_tpu.config import RunConfig, default_config
+    from context_attentive_ir_tpu.data import Dictionary
+    from context_attentive_ir_tpu.data.objects import (
+        Document,
+        Query,
+        Session,
+    )
+    from context_attentive_ir_tpu.models import build_model
+    from context_attentive_ir_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+    from context_attentive_ir_tpu.train.trainer import make_iterator
+
+    rng = np.random.RandomState(0)
+    VOCAB_N, N_SESS, NCAND = 100_000, 768, 50
+    words = [f"w{i}" for i in range(VOCAB_N)]
+    word_dict = Dictionary()
+    for w in words:
+        word_dict.add(w)
+
+    def rand_words(n):
+        return [words[i] for i in rng.randint(0, VOCAB_N, size=n)]
+
+    # AOL-ish session length distribution: P(2)=.45 P(3)=.25 P(4)=.12
+    # P(5)=.08 P(6..10)=.10
+    lens = rng.choice([2, 3, 4, 5, 6, 7, 8, 9, 10], size=N_SESS,
+                      p=[.45, .25, .12, .08, .04, .03, .01, .01, .01])
+    sessions = []
+    for si, L in enumerate(lens):
+        qs = []
+        for t in range(L):
+            docs = [Document(f"d{si}_{t}_{c}", rand_words(
+                int(rng.randint(5, 30))), int(c == 0))
+                for c in range(NCAND)]
+            qs.append(Query(f"q{si}_{t}", rand_words(
+                int(rng.randint(2, 8))), docs))
+        sessions.append(Session(f"s{si}", qs))
+    n_docs = int(sum(len(s.queries) for s in sessions)) * NCAND
+
+    cfg = default_config("cars").replace(
+        vocab_size=len(word_dict), emsize=256, nhid=128,
+        max_query_len=15, max_doc_len=30, max_session_len=10,
+        num_candidates=NCAND, compute_dtype="bfloat16",
+        dropout=0.0, dropout_emb=0.0, dropout_rnn=0.0)
+    model = build_model(cfg)
+    rng_key = jax.random.key(0)
+
+    for buckets in ((), (3, 5, 10)):
+        it = make_iterator(sessions, cfg, word_dict, batch_size=32,
+                           shuffle=True, seed=1, session_buckets=buckets)
+        first = next(iter(it.epoch(0)))
+        state = create_train_state(model, cfg, first, jax.random.key(1))
+        step = make_train_step(model, cfg)
+        # one warmup epoch: all bucket shapes compile + host caches warm
+        for batch in it.epoch(0):
+            state, m = step(state, batch, rng_key)
+        jax.device_get(m["loss"] if isinstance(m, dict)
+                       else jax.tree_util.tree_leaves(m)[0])
+        t0 = time.perf_counter()
+        for batch in it.epoch(1):
+            state, m = step(state, batch, rng_key)
+        jax.device_get(m["loss"] if isinstance(m, dict)
+                       else jax.tree_util.tree_leaves(m)[0])
+        dt = time.perf_counter() - t0
+        report("scale_bucketing", dt / 1,
+               buckets=list(buckets) or "flat",
+               epoch_s=round(dt, 2),
+               docs_per_sec=round(n_docs / dt, 1))
+
+
 def dispatch_table():
     """Regenerate ops/dispatch_table.json on the attached chip (VERDICT r2
     next-round #4): measure fused-forward kernel vs XLA scan for LSTM and
@@ -979,4 +1057,5 @@ if __name__ == "__main__":
      "decode_step_only": decode_step_only, "gru_train": gru_train,
      "engine_host": engine_host, "scan_unroll": scan_unroll,
      "large_r": large_r, "large_r2": large_r2, "hoist_check": hoist_check,
+     "scale_bucketing": scale_bucketing,
      "dispatch_table": dispatch_table}[exp]()
