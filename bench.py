@@ -303,6 +303,31 @@ def bench_suggest(model, params, batch) -> float:
     return (B * S) / dt
 
 
+def bench_train(model, cfg, batch) -> float:
+    """Full training-step throughput (loss + grads + Adam update),
+    docs/sec/chip -- the fused chunked-remat kernel pair's headline
+    (SURVEY.md SS2.12; PERF.md r3 ledger)."""
+    import jax
+
+    from context_attentive_ir_tpu.train.state import create_train_state
+    from context_attentive_ir_tpu.train.steps import make_train_step
+
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    rng = jax.random.key(1)
+    s = state  # donated each step; always chain
+    for _ in range(2):
+        s, m = step(s, batch, rng)
+    jax.device_get(m["loss"])
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        s, m = step(s, batch, rng)
+    jax.device_get(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return (B * S * N) / dt
+
+
 def bench_torch_cpu() -> float:
     """Equivalent PyTorch CARS-style scorer on host CPU (reference stand-in:
     the reference framework is PyTorch, SURVEY.md SS1)."""
@@ -400,20 +425,23 @@ def main():
     if os.environ.get("BENCH_PARITY", "1") != "0":
         parity = kernel_parity_checks()
 
-    _, model, params, batch = _build_cars(True)
+    cfg, model, params, batch = _build_cars(True)
     tpu_dps = bench_rank(model, params, batch)
     suggest_qps = bench_suggest(model, params, batch)
+    train_dps = bench_train(model, cfg, batch)
     vs = tpu_dps / baseline["torch_cpu_docs_per_sec"]
     details = {
         "tpu_docs_per_sec_per_chip": tpu_dps,
         "suggest_queries_per_sec_per_chip_beam5": suggest_qps,
+        "train_docs_per_sec_per_chip": train_dps,
         "torch_cpu_docs_per_sec": baseline["torch_cpu_docs_per_sec"],
         "kernel_parity": parity,
         "shapes": {"batch_sessions": B, "session_len": S, "slate": N,
                    "query_len": LQ, "doc_len": LD, "emsize": EMSIZE,
                    "nhid": NHID, "vocab": VOCAB, "beam": BEAM},
         "dtype": "bfloat16",
-        "pallas_fused_lstm": "auto (scan above ~6k-row crossover)",
+        "pallas_fused_lstm": "auto (on-chip-measured dispatch table, "
+                             "ops/dispatch_table.json)",
         "pallas_fused_slate_pool": False,
         "model": "cars.score (session-aware slate reranking) + "
                  "cars.decode (beam-5 suggestion)",
@@ -425,6 +453,7 @@ def main():
         "unit": "docs/sec/chip",
         "vs_baseline": round(vs, 2),
         "suggest_qps_beam5": round(suggest_qps, 1),
+        "train_docs_per_sec": round(train_dps, 1),
         "kernel_parity": "ok" if parity else "skipped",
     }))
 

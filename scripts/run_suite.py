@@ -131,18 +131,24 @@ def main():
         base_type = model_type.replace("_ablated", "")
         extra = {"ablate_history": True} if model_type.endswith("_ablated") \
             else {}
-        cfg = default_config(base_type).replace(
-            vocab_size=len(word_dict), **dims, **extra)
         fam = ("ranker" if base_type in RANKERS else
                "recommender" if base_type in RECOMMENDERS else "multitask")
         # multitask models on the discriminative corpora cross the
         # tie-ceiling plateau only after a phase transition (CARS ~300-600
-        # steps; the fixed M-NSRF ~700-800 at gate dims --
+        # steps; the fixed M-NSRF ~epoch 40-60 at gate dims --
         # tests/test_discriminative.py, PERF.md r3), so they get a longer
-        # budget and patience there
+        # budget + patience there AND the gate-proven lr 5e-3: the
+        # 2-lr x 3-seed sweep behind test_cars_ranking_capability_gate
+        # found lr <=3e-3 sometimes never transitions at all, and M-NSRF
+        # at the default 1e-3 sat at the 0.59 ceiling for 21+ epochs on
+        # this corpus (models/multitask/mnsrf.py docstring has the
+        # root-cause diagnosis)
         epochs, early = args.epochs, 3
         if args.corpus in ("ambiguous", "suggestion") and fam == "multitask":
-            epochs, early = max(args.epochs, 48), 24
+            epochs, early = max(args.epochs, 64), 32
+            extra["learning_rate"] = 5e-3
+        cfg = default_config(base_type).replace(
+            vocab_size=len(word_dict), **dims, **extra)
         # multitask on the discriminative corpora validates GREEDY (their
         # targets are near-deterministic so beam ~= greedy, and the long
         # phase-transition budget makes per-epoch beam decode the wall);
