@@ -168,7 +168,10 @@ def test_cars_ranking_capability_gate(gate_data):
     3-seed sweep: lr 3e-3 sometimes never transitions within 60 epochs
     (the round-2 flake), lr 5e-3 transitioned by epoch 50-60 in 3/3 seeds
     (final MAP 0.96-1.0); budget capped at 75 epochs with early exit.  A
-    broken context-attention head stays at the ceiling and fails."""
+    broken context-attention head stays at the ceiling and fails --
+    verified by ablation (round 3): with CARS.context_attend patched to
+    return qv (no history), best MAP over the full 75-epoch budget was
+    0.634 < 0.80 on this exact recipe."""
     import jax
 
     from context_attentive_ir_tpu.models import build_model
