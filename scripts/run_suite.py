@@ -164,7 +164,11 @@ def main():
             num_epochs=1 if model_type == "esm" else epochs,
             display_iter=1000, early_stop=early,
             valid_metric="map" if fam != "recommender" else "bleu-1",
-            beam_size=beam, seed=1013)
+            beam_size=beam, seed=1013,
+            # resume from <name>.mdl.checkpoint if a prior suite run was
+            # interrupted mid-model (no-op for fresh runs); completed rows
+            # are cached in results.jsonl either way
+            resume=True)
         t0 = time.time()
         tr = Trainer(cfg, run, word_dict,
                      pretrained=table if model_type == "esm" else table)
