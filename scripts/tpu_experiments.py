@@ -158,6 +158,89 @@ def gather():
     report("table_full_read", ms)
 
 
+def gather_kernel():
+    """Pallas row-DMA gather probe (round 3).
+
+    Question: XLA's ``jnp.take`` on the bench gather ([480k rows] x E=256
+    bf16 from a 50k-row table) runs at ~11.5 ns/row (~44 GB/s) -- is that
+    a property of XLA's gather lowering (beatable) or of random 512-byte
+    HBM reads on this chip (structural)?  The kernel keeps a sliding
+    window of W in-flight single-row DMAs (HBM table row -> VMEM out
+    block row) with per-slot semaphores; ids stream through SMEM blocks.
+    One compile per (chunk, window) variant -- budget accordingly.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(0)
+    n_ids = ROWS * T                              # 480,000
+    ids = jnp.asarray(rng.randint(4, VOCAB, size=(n_ids,)), jnp.int32)
+    table = jnp.asarray(rng.normal(size=(VOCAB, E)), jnp.bfloat16)
+    gb = n_ids * E * 2 / 1e9
+
+    def take(table, ids):
+        return jnp.take(table, ids, axis=0)
+
+    ms = timed(jax.jit(take), table, ids)
+    report("gather_xla_take", ms, rows=n_ids,
+           ns_per_row=round(ms * 1e9 / n_ids, 2),
+           eff_gbps=round(gb / ms, 1))
+
+    def make(chunk, window):
+        def kernel(ids_ref, table_ref, out_ref, sems):
+            def dma(j):
+                return pltpu.make_async_copy(
+                    table_ref.at[ids_ref[j]],
+                    out_ref.at[j],
+                    sems.at[jax.lax.rem(j, window)],
+                )
+
+            def body(j, _):
+                @pl.when(j >= window)
+                def _():
+                    dma(j - window).wait()
+                dma(j).start()
+                return _
+
+            jax.lax.fori_loop(0, chunk, body, None)
+
+            def drain(j, _):
+                dma(j).wait()
+                return _
+
+            jax.lax.fori_loop(chunk - window, chunk, drain, None)
+
+        grid = n_ids // chunk
+        assert grid * chunk == n_ids
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((chunk,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec((chunk, E), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_ids, E), jnp.bfloat16),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((window,))],
+        )
+
+    for chunk, window in [(2400, 16), (2400, 64)]:
+        try:
+            fn = jax.jit(lambda i, t, _k=make(chunk, window): _k(i, t))
+            ms = timed(fn, ids, table)
+            err = float(jnp.max(jnp.abs(
+                fn(ids, table).astype(jnp.float32)
+                - take(table, ids).astype(jnp.float32))))
+            report("gather_dma_kernel", ms, chunk=chunk, window=window,
+                   ns_per_row=round(ms * 1e9 / n_ids, 2),
+                   eff_gbps=round(gb / ms, 1), max_abs_err=err)
+        except Exception as e:  # noqa: BLE001 -- probe: record and go on
+            print(json.dumps({"exp": "gather_dma_kernel", "chunk": chunk,
+                              "window": window,
+                              "error": repr(e)[:300]}), flush=True)
+
+
 def pool():
     from context_attentive_ir_tpu.ops.pallas.slate import (
         _pool_fused_impl,
@@ -1050,7 +1133,8 @@ def suggest():
 if __name__ == "__main__":
     exp = sys.argv[1] if len(sys.argv) > 1 else "pool"
     {"lstm_sweep": lstm_sweep, "lstm_bwd_sweep": lstm_bwd_sweep,
-     "gather": gather, "pool": pool, "suggest": suggest, "gru": gru,
+     "gather": gather, "gather_kernel": gather_kernel,
+     "pool": pool, "suggest": suggest, "gru": gru,
      "scan_vs_fused": scan_vs_fused, "gru_small": gru_small,
      "score_e2e": score_e2e, "train_e2e": train_e2e,
      "beam_parts": beam_parts, "indexed": indexed,
