@@ -186,7 +186,15 @@ def gather_kernel():
            ns_per_row=round(ms * 1e9 / n_ids, 2),
            eff_gbps=round(gb / ms, 1))
 
-    def make(chunk, window):
+    # Mosaic DMA constraints found on real TPU (interpret mode enforces
+    # neither): (a) single-row slices of a 2-D [V, E] bf16 memref are
+    # illegal (slices must be 8/16-sublane aligned) -> view the table as
+    # [V, 2, 128] so each row is exactly one (2,128) bf16 tile and the
+    # sliced dim is untiled; (b) rank-1 SMEM id blocks carry tiling 1024
+    # -> chunk must be a multiple of 1024 (ids padded up accordingly).
+    table3 = table.reshape(VOCAB, 2, E // 2)
+
+    def make(chunk, window, n):
         def kernel(ids_ref, table_ref, out_ref, sems):
             def dma(j):
                 return pltpu.make_async_copy(
@@ -210,35 +218,39 @@ def gather_kernel():
 
             jax.lax.fori_loop(chunk - window, chunk, drain, None)
 
-        grid = n_ids // chunk
-        assert grid * chunk == n_ids
+        grid = n // chunk
+        assert grid * chunk == n
         return pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec((chunk,), lambda i: (i,),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((chunk, E), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_ids, E), jnp.bfloat16),
+            out_specs=pl.BlockSpec((chunk, 2, E // 2),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, 2, E // 2), jnp.bfloat16),
             scratch_shapes=[pltpu.SemaphoreType.DMA((window,))],
         )
 
-    for chunk, window in [(2400, 16), (2400, 64)]:
+    for chunk, window in [(2048, 16), (2048, 64), (4096, 128)]:
+        n = (n_ids + chunk - 1) // chunk * chunk
+        ids_p = jnp.asarray(
+            rng.randint(4, VOCAB, size=(n,)), jnp.int32).at[:n_ids].set(ids)
         try:
-            fn = jax.jit(lambda i, t, _k=make(chunk, window): _k(i, t))
-            ms = timed(fn, ids, table)
+            fn = jax.jit(lambda i, t, _k=make(chunk, window, n): _k(i, t))
+            ms = timed(fn, ids_p, table3)
             err = float(jnp.max(jnp.abs(
-                fn(ids, table).astype(jnp.float32)
+                fn(ids_p, table3).reshape(n, E)[:n_ids].astype(jnp.float32)
                 - take(table, ids).astype(jnp.float32))))
             report("gather_dma_kernel", ms, chunk=chunk, window=window,
-                   ns_per_row=round(ms * 1e9 / n_ids, 2),
-                   eff_gbps=round(gb / ms, 1), max_abs_err=err)
+                   ns_per_row=round(ms * 1e9 / n, 2),
+                   eff_gbps=round(n * E * 2 / 1e9 / ms, 1), max_abs_err=err)
         except Exception as e:  # noqa: BLE001 -- probe: record and go on
             print(json.dumps({"exp": "gather_dma_kernel", "chunk": chunk,
                               "window": window,
-                              "error": repr(e)[:300]}), flush=True)
+                              "error": repr(e)[-600:]}), flush=True)
 
 
 def pool():
