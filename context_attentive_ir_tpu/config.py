@@ -34,7 +34,7 @@ ARCHITECTURE_FIELDS = (
     "nhid_ffnn", "pool_size", "nfilters", "filter_widths", "session_rnn_type",
     "use_charngram", "regularize_coeff", "alpha", "tie_embeddings",
     "max_query_len", "max_doc_len", "max_session_len", "num_candidates",
-    "loss_type", "margin", "ablate_history",
+    "loss_type", "margin", "ablate_history", "cars_ablation",
 )
 
 # Optimizer/runtime fields (the reference's MODEL_OPTIMIZER whitelist).
@@ -78,6 +78,13 @@ class ModelConfig:
     # session history) -- the history-blind floor of the suggestion
     # capability ladder (RESULTS.md; VERDICT r2 next-round #1)
     ablate_history: bool = False
+    # CARS component ablations, mirroring the paper's ablation analysis
+    # (arXiv:1906.02329 SS4; SURVEY.md SS2.6): 'none' | 'no_click_flow'
+    # (click-flow states removed from context memory + decoder init) |
+    # 'no_context_attn' (ranking/suggestion see the raw query vector; no
+    # history reaches either head).  The discriminative corpus predicts
+    # each variant's ceiling -- see RESULTS.md ablation table.
+    cars_ablation: str = "none"
     # static shapes
     max_query_len: int = MAX_QUERY_LEN
     max_doc_len: int = MAX_DOC_LEN

@@ -166,13 +166,18 @@ class CARS(nn.Module):
         # query-flow recurrence over turns
         sq, _ = self.query_flow(qv, batch.turn_mask)           # [B, S, H2]
 
-        # click-flow recurrence over aggregated clicked-doc representations
-        clicks = batch.clicks * batch.cand_mask.astype(batch.clicks.dtype)
-        n_clicks = jnp.maximum(jnp.sum(clicks, axis=-1, keepdims=True), 1.0)
-        click_repr = jnp.einsum("bsn,bsnh->bsh",
-                                (clicks / n_clicks).astype(dv.dtype), dv)
-        has_click = (jnp.sum(clicks, axis=-1) > 0) & batch.turn_mask
-        sc, _ = self.click_flow(click_repr, has_click)         # [B, S, H2]
+        if self.config.cars_ablation == "no_click_flow":
+            sc = jnp.zeros_like(sq)         # ablation: no click recurrence
+        else:
+            # click-flow recurrence over aggregated clicked-doc reprs
+            clicks = batch.clicks * batch.cand_mask.astype(
+                batch.clicks.dtype)
+            n_clicks = jnp.maximum(
+                jnp.sum(clicks, axis=-1, keepdims=True), 1.0)
+            click_repr = jnp.einsum("bsn,bsnh->bsh",
+                                    (clicks / n_clicks).astype(dv.dtype), dv)
+            has_click = (jnp.sum(clicks, axis=-1) > 0) & batch.turn_mask
+            sc, _ = self.click_flow(click_repr, has_click)     # [B, S, H2]
 
         return q_states, qv, dv, sq, sc
 
@@ -193,6 +198,11 @@ class CARS(nn.Module):
         cfg = self.config
         B, S, Lq = batch.query.shape
         q_states, qv = self._encode_queries(batch, deterministic)
+        sq, _ = self.query_flow(qv, batch.turn_mask)
+
+        if cfg.cars_ablation == "no_click_flow":
+            del B, S, Lq
+            return q_states, qv, sq, jnp.zeros_like(sq)
 
         clicks = batch.clicks * batch.cand_mask.astype(batch.clicks.dtype)
         C = min(cfg.suggest_max_clicks, clicks.shape[-1])
@@ -211,7 +221,6 @@ class CARS(nn.Module):
                                 (cw / n_clicks).astype(dv_c.dtype), dv_c)
         has_click = (jnp.sum(cw, axis=-1) > 0) & batch.turn_mask
 
-        sq, _ = self.query_flow(qv, batch.turn_mask)
         sc, _ = self.click_flow(click_repr, has_click)
         del B, S, Lq
         return q_states, qv, sq, sc
@@ -222,13 +231,26 @@ class CARS(nn.Module):
         Memory has 2S slots ([sq_0..sq_{S-1}, sc_0..sc_{S-1}]); turn t may
         see slots with turn index strictly < t.  Returns the context-aware
         query representation [B, S, H2].
+
+        Ablations (``config.cars_ablation``, paper SS4 parity): with
+        ``no_context_attn`` the raw query vector passes through untouched
+        (no history reaches the rank head); with ``no_click_flow`` the
+        memory holds only the S query-flow slots.
         """
+        ablation = self.config.cars_ablation
+        if ablation == "no_context_attn":
+            return qv
         B, S, H = sq.shape
-        memory = jnp.concatenate([sq, sc], axis=1)             # [B, 2S, H]
         tri = jnp.tril(jnp.ones((S, S), bool), k=-1)           # tri[t, j] = j < t
-        cmask = jnp.concatenate([tri, tri], axis=1)            # [S, 2S]
-        cmask = (cmask[None] &
-                 jnp.concatenate([turn_mask, turn_mask], -1)[:, None, :])
+        if ablation == "no_click_flow":
+            memory = sq                                        # [B, S, H]
+            cmask = tri[None] & turn_mask[:, None, :]
+        else:
+            memory = jnp.concatenate([sq, sc], axis=1)         # [B, 2S, H]
+            cmask = jnp.concatenate([tri, tri], axis=1)        # [S, 2S]
+            cmask = (cmask[None] &
+                     jnp.concatenate([turn_mask, turn_mask],
+                                     -1)[:, None, :])
         scores = self.ctx_v(jnp.tanh(
             self.ctx_wq(qv)[:, :, None, :]
             + self.ctx_wm(memory)[:, None, :, :]))[..., 0]     # [B, S, 2S]

@@ -154,6 +154,55 @@ def test_cars_no_click_leakage(data):
     np.testing.assert_allclose(s1[0, t_last], s2[0, t_last], atol=1e-6)
 
 
+def test_cars_ablation_variants(data):
+    """CARS component ablations (paper SS4 parity; config.cars_ablation):
+    each variant runs all inference paths, and the structural
+    information-flow properties hold -- no_click_flow makes ranking
+    click-invariant, no_context_attn makes turn t's scores blind to
+    earlier turns; full CARS is neither (scripts/cars_ablation.py holds
+    the trained counterpart)."""
+    sessions, word_dict = data
+    batch = _batch_for("cars", sessions, word_dict)
+    t_last = int(batch.turn_mask[0].sum()) - 1
+    assert t_last >= 1
+
+    def scores_for(ablation, batch):
+        cfg = small_config("cars", len(word_dict)).replace(
+            cars_ablation=ablation)
+        model = build_model(cfg)
+        params = model.init({"params": jax.random.key(0)}, batch, True)
+        model.apply(params, batch, method=model.decode_init)  # smoke
+        return params, model, np.asarray(
+            model.apply(params, batch, method=model.score))
+
+    # flip turn-0 clicks: only the click-flow can carry that to later turns
+    clicks = batch.clicks.copy()
+    clicks[0, 0] = 1.0 - clicks[0, 0]
+    b_click = batch.replace(clicks=clicks)
+    # swap turn-0's query with turn-1's: only history paths can carry it
+    query = batch.query.copy()
+    qmask = batch.query_mask.copy()
+    query[0, 0], qmask[0, 0] = batch.query[0, 1], batch.query_mask[0, 1]
+    b_query = batch.replace(query=query, query_mask=qmask)
+
+    for ablation in ("none", "no_click_flow", "no_context_attn"):
+        params, model, s0 = scores_for(ablation, batch)
+        assert np.isfinite(s0).all(), ablation
+        sc = np.asarray(model.apply(params, b_click, method=model.score))
+        sq = np.asarray(model.apply(params, b_query, method=model.score))
+        d_click = np.abs(s0[0, t_last] - sc[0, t_last]).max()
+        d_query = np.abs(s0[0, t_last] - sq[0, t_last]).max()
+        if ablation == "none":
+            assert "click_flow" in params["params"]
+            assert d_click > 1e-6 and d_query > 1e-6
+        elif ablation == "no_click_flow":
+            assert "click_flow" not in params["params"]
+            assert d_click < 1e-6          # clicks never reach ranking
+            assert d_query > 1e-6          # query history still does
+        else:  # no_context_attn: turn t sees only its own query + slate
+            assert d_click < 1e-6 and d_query < 1e-6
+
+
 def test_dssm_charngram(data):
     """DSSM with the char-CNN word-hashing analogue (--use_charngram)."""
     from context_attentive_ir_tpu.data import build_rank_batch, rank_examples
