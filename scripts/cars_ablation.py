@@ -87,7 +87,15 @@ def main():
     ap.add_argument("--out", default="/tmp/cars_ablation.json")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--emsize", type=int, default=0,
+                    help="override DIMS emsize/nhid (0 = gate dims)")
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--only", default="",
+                    help="comma-separated ablation subset")
     args = ap.parse_args()
+    if args.emsize:
+        DIMS.update(emsize=args.emsize, nhid=args.emsize,
+                    nhid_ffnn=2 * args.emsize)
 
     # BOTH key modes -> the click half separates full CARS from
     # no_click_flow (the gate corpus uses query-only; here mixed is the
@@ -102,10 +110,12 @@ def main():
                 for d in q.documents]
     word_dict = build_dictionary(streams)
 
+    variants = (tuple(args.only.split(",")) if args.only
+                else ("none", "no_click_flow", "no_context_attn"))
     results = []
-    for ab in ("none", "no_click_flow", "no_context_attn"):
+    for ab in variants:
         res = run_variant(ab, train, test, word_dict, args.epochs,
-                          args.seed, lr=5e-3)
+                          args.seed, lr=args.lr)
         results.append(res)
         print(json.dumps(res), flush=True)
     Path(args.out).write_text(
