@@ -55,12 +55,52 @@ def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
 
 
+def _chunk_count(v: int, kc: int) -> int:
+    """Largest G <= 32 with G | V and V/G >= 4*Kc (0 if none)."""
+    for g in range(32, 1, -1):
+        if v % g == 0 and v // g >= 4 * kc:
+            return g
+    return 0
+
+
+def _topk_rows(scores: jnp.ndarray, kc: int, method: str):
+    """Top-``kc`` of each row of ``[R, V]``.
+
+    ``exact``: one ``lax.top_k`` over the full vocab axis (reference
+    semantics, the baseline).  ``chunked``: exact two-stage -- top-kc
+    within each of G vocab chunks, then top-kc over the G*kc chunk
+    winners.  Exact because every global top-kc element is necessarily
+    within its own chunk's top-kc; measured faster on v5e because TPU
+    ``top_k`` cost grows superlinearly in the reduced axis (PERF.md
+    round-3 ledger).  ``approx``: TPU ``approx_max_k`` (PartialReduce),
+    recall ~0.99 per element -- opt-in, NOT used by default since decoded
+    output is no longer bit-identical to the reference beam.
+    """
+    if method == "chunked":
+        v = scores.shape[-1]
+        g = _chunk_count(v, kc)
+        if g:
+            r = scores.shape[0]
+            vc = v // g
+            tc, ic = jax.lax.top_k(scores.reshape(r * g, vc), kc)
+            cand = tc.reshape(r, g * kc)
+            base = (jnp.arange(g, dtype=jnp.int32) * vc)[None, :, None]
+            gid = (ic.reshape(r, g, kc) + base).reshape(r, g * kc)
+            t1, sel = jax.lax.top_k(cand, kc)
+            return t1, jnp.take_along_axis(gid, sel, axis=1)
+        method = "exact"
+    if method == "approx":
+        return jax.lax.approx_max_k(scores, kc, recall_target=0.99)
+    return jax.lax.top_k(scores, kc)
+
+
 def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
                 beam_size: int = 5, alpha: float = 0.6,
                 vocab_size: int | None = None, return_nbest: bool = False,
                 min_length: int = 0, length_penalty: str = "wu",
                 coverage_beta: float = 0.0, coverage_penalty: str = "wu",
-                cov_mask: jnp.ndarray | None = None):
+                cov_mask: jnp.ndarray | None = None,
+                topk_method: str = "exact"):
     """Returns (best tokens [B, max_len], best score [B]); with
     ``return_nbest`` instead returns the full beams ([B, K, max_len],
     [B, K]) sorted by normalized score -- the reference beam's n-best
@@ -106,7 +146,7 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
         scores32 = scores.astype(jnp.float32)
         lse = jax.scipy.special.logsumexp(scores32, axis=-1,
                                           keepdims=True)      # [B*K, 1]
-        t1, i1 = jax.lax.top_k(scores32, Kc)                  # [B*K, Kc]
+        t1, i1 = _topk_rows(scores32, Kc, topk_method)        # [B*K, Kc]
         logp_top = (t1 - lse).reshape(B, K, Kc)
         i1 = i1.reshape(B, K, Kc).astype(jnp.int32)
         # frozen beams: single live continuation (PAD at zero cost)

@@ -1100,6 +1100,89 @@ def beam_parts():
     report("beam_bf16_two_stage_x16", ms)
 
 
+def beam_topk():
+    """Shoot out top-(K+1) formulations in the CURRENT beam formulation
+    (raw logits -> lse shift -> per-beam top-(K+1)); the exact f32 top_k
+    is the remaining ~2.2 ms/step of beam machinery (STATUS.md).
+
+    Variants: exact (beam.py today), TPU approx_max_k (recall .95/.99),
+    and an exact chunked two-stage (top-k per V/G chunk, then top-k over
+    the G*(K+1) chunk winners -- exact because every global top-(K+1)
+    element is within its own chunk's top-(K+1))."""
+    rng = np.random.RandomState(0)
+    Bq, K, V, Hh = 320, 5, VOCAB, 256
+    R = Bq * K
+    Kc = K + 1
+    h = jnp.asarray(rng.normal(size=(R, Hh)) * 0.3, jnp.bfloat16)
+    table = jnp.asarray(rng.normal(size=(V, Hh)) * 0.3, jnp.bfloat16)
+    prev = jnp.zeros((R,), jnp.float32)
+
+    def scan16(body):
+        @jax.jit
+        def run(h, table, prev):
+            def step(carry, _):
+                return carry, body(h, table, carry)
+            _, outs = jax.lax.scan(step, prev, jnp.arange(16))
+            return outs
+        return run
+
+    def finish(t1, i1, lse, prev):
+        # the rest of the beam step (combine + flat top-k over K*(K+1))
+        logp_top = t1 - lse
+        total = prev[:, None] + logp_top
+        top, i2 = jax.lax.top_k(total.reshape(Bq, K * Kc), K)
+        return top.sum() + i2.sum() + i1.sum()
+
+    def exact(h, table, prev):
+        scores32 = (h @ table.T).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(scores32, axis=-1, keepdims=True)
+        t1, i1 = jax.lax.top_k(scores32, Kc)
+        return finish(t1, i1, lse, prev)
+
+    ms = timed(scan16(exact), h, table, prev, warmup=2, iters=5)
+    report("beam_exact_f32_x16", ms)
+    ms = timed(scan16(exact), h, table, prev, warmup=0, iters=5)
+    report("beam_exact_f32_x16_p2", ms)
+
+    def mk_approx(recall):
+        def approx(h, table, prev):
+            scores32 = (h @ table.T).astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(scores32, axis=-1,
+                                              keepdims=True)
+            t1, i1 = jax.lax.approx_max_k(scores32, Kc,
+                                          recall_target=recall)
+            return finish(t1, i1, lse, prev)
+        return approx
+
+    for recall in (0.95, 0.99):
+        ms = timed(scan16(mk_approx(recall)), h, table, prev,
+                   warmup=2, iters=5)
+        report("beam_approx_x16", ms, recall=recall)
+
+    def mk_chunked(G):
+        Vc = V // G
+
+        def chunked(h, table, prev):
+            scores32 = (h @ table.T).astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(scores32, axis=-1,
+                                              keepdims=True)
+            c = scores32.reshape(R * G, Vc)
+            tc_, ic_ = jax.lax.top_k(c, Kc)               # [R*G, Kc]
+            cand = tc_.reshape(R, G * Kc)
+            # global ids: chunk base + in-chunk id
+            base = (jnp.arange(G, dtype=jnp.int32) * Vc)[None, :, None]
+            gid = (ic_.reshape(R, G, Kc) + base).reshape(R, G * Kc)
+            t1, sel = jax.lax.top_k(cand, Kc)             # [R, Kc]
+            i1 = jnp.take_along_axis(gid, sel, axis=1)
+            return finish(t1, i1, lse, prev)
+        return chunked
+
+    for G in (8, 25):
+        ms = timed(scan16(mk_chunked(G)), h, table, prev,
+                   warmup=2, iters=5)
+        report("beam_chunked_exact_x16", ms, chunks=G)
+
+
 def suggest():
     """Decompose beam-5 decode: init vs full; beam width scaling."""
     sys.path.insert(0, str(ROOT))
@@ -1149,7 +1232,8 @@ if __name__ == "__main__":
      "pool": pool, "suggest": suggest, "gru": gru,
      "scan_vs_fused": scan_vs_fused, "gru_small": gru_small,
      "score_e2e": score_e2e, "train_e2e": train_e2e,
-     "beam_parts": beam_parts, "indexed": indexed,
+     "beam_parts": beam_parts, "beam_topk": beam_topk,
+     "indexed": indexed,
      "decode_step_only": decode_step_only, "gru_train": gru_train,
      "engine_host": engine_host, "scan_unroll": scan_unroll,
      "large_r": large_r, "large_r2": large_r2, "hoist_check": hoist_check,

@@ -56,6 +56,39 @@ def test_beam_finds_higher_probability_path_than_greedy():
     assert np.asarray(b_toks)[0, 1] == EOS
 
 
+def test_chunked_topk_exactness():
+    """`_topk_rows('chunked')` must equal the plain top_k bit-for-bit
+    (it is the default-dispatched beam formulation on TPU, PERF.md r3)."""
+    from context_attentive_ir_tpu.decode.beam import (_chunk_count,
+                                                      _topk_rows)
+    rng = np.random.RandomState(7)
+    scores = jnp.asarray(rng.normal(size=(37, 2048)).astype(np.float32))
+    assert _chunk_count(2048, 6) > 0          # chunking actually active
+    te, ie = _topk_rows(scores, 6, "exact")
+    tc, ic = _topk_rows(scores, 6, "chunked")
+    np.testing.assert_array_equal(np.asarray(te), np.asarray(tc))
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(ic))
+    # tiny vocab falls back to exact instead of producing short chunks
+    assert _chunk_count(V, 6) == 0
+
+
+def test_beam_topk_methods_agree_end_to_end():
+    """beam_search output is identical under exact vs chunked top-k on a
+    random step function with a chunkable vocab."""
+    vv = 96                                    # _chunk_count(96, 6) == 4
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.normal(size=(vv, vv)).astype(np.float32))
+
+    def step(state, tokens):
+        return state, logits[tokens]
+
+    te, se = beam_search(step, (), 4, 6, beam_size=5, topk_method="exact")
+    tc, sc = beam_search(step, (), 4, 6, beam_size=5,
+                         topk_method="chunked")
+    np.testing.assert_array_equal(np.asarray(te), np.asarray(tc))
+    np.testing.assert_allclose(np.asarray(se), np.asarray(sc), rtol=1e-6)
+
+
 def test_beam_size_one_matches_greedy():
     rng = np.random.RandomState(0)
     table = rng.rand(V, V).astype(np.float32) + 1e-3
