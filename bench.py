@@ -409,7 +409,39 @@ def bench_torch_cpu() -> float:
     return (TB * S * N * iters) / dt
 
 
+def _backend_up_or_die(timeout_s: float) -> None:
+    """Fail FAST if the axon tunnel is wedged instead of hanging forever.
+
+    Observed round 3: the PJRT plugin can block indefinitely at backend
+    init (futex + ep_poll on the tunnel socket) rather than raising
+    UNAVAILABLE.  A daemon watchdog covers ONLY backend init + one tiny
+    fenced op -- never compiles, which legitimately take minutes -- so a
+    wedged tunnel yields a clean non-zero exit with a diagnostic line the
+    driver can record, instead of a silent hang.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "error": "TPU backend init exceeded "
+                         f"{timeout_s:.0f}s (axon tunnel wedged?)",
+                "metric": None,
+            }), file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+    import jax.numpy as jnp
+    jax.devices()
+    float(jax.device_get(jnp.ones((8,), jnp.float32).sum()))
+    done.set()
+
+
 def main():
+    _backend_up_or_die(float(os.environ.get("BENCH_BACKEND_TIMEOUT", 420)))
     baseline_file = ROOT / "BENCH_BASELINE.json"
     if baseline_file.exists():
         baseline = json.loads(baseline_file.read_text())
