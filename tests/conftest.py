@@ -36,3 +36,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent XLA compile cache: the suite is compile-bound on this host's
+# single CPU core (~15-25 s per full-model jit), so cache hits cut repeat
+# suite runs several-fold.  The env var alone does not reliably enable the
+# cache here; the config calls do (probed round 3).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
