@@ -63,6 +63,20 @@ def _chunk_count(v: int, kc: int) -> int:
     return 0
 
 
+def _resolve_topk_method(method: str, v: int, kc: int) -> str:
+    """Resolve ``auto`` at trace time via the on-chip-measured dispatch
+    table (ops/dispatch.py, same policy as the RNN kernel-vs-scan choice):
+    chunked only on TPU and only where measured faster; exact elsewhere
+    and for every unmeasured shape.  Both choices are bit-identical."""
+    if method != "auto":
+        return method
+    if jax.default_backend() != "tpu":
+        return "exact"
+    from ..ops.dispatch import prefer_chunked_topk
+
+    return "chunked" if prefer_chunked_topk(v, kc) else "exact"
+
+
 def _topk_rows(scores: jnp.ndarray, kc: int, method: str):
     """Top-``kc`` of each row of ``[R, V]``.
 
@@ -70,12 +84,14 @@ def _topk_rows(scores: jnp.ndarray, kc: int, method: str):
     semantics, the baseline).  ``chunked``: exact two-stage -- top-kc
     within each of G vocab chunks, then top-kc over the G*kc chunk
     winners.  Exact because every global top-kc element is necessarily
-    within its own chunk's top-kc; measured faster on v5e because TPU
-    ``top_k`` cost grows superlinearly in the reduced axis (PERF.md
-    round-3 ledger).  ``approx``: TPU ``approx_max_k`` (PartialReduce),
-    recall ~0.99 per element -- opt-in, NOT used by default since decoded
-    output is no longer bit-identical to the reference beam.
+    within its own chunk's top-kc; dispatched where measured faster
+    on-chip (PERF.md round-3 ledger).  ``approx``: TPU ``approx_max_k``
+    (PartialReduce), recall ~0.99 per element -- opt-in, NOT used by
+    default since decoded output is no longer bit-identical to the
+    reference beam.  ``auto`` (the production default): measured dispatch
+    between the two exact formulations.
     """
+    method = _resolve_topk_method(method, scores.shape[-1], kc)
     if method == "chunked":
         v = scores.shape[-1]
         g = _chunk_count(v, kc)
@@ -100,7 +116,7 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
                 min_length: int = 0, length_penalty: str = "wu",
                 coverage_beta: float = 0.0, coverage_penalty: str = "wu",
                 cov_mask: jnp.ndarray | None = None,
-                topk_method: str = "exact"):
+                topk_method: str = "auto"):
     """Returns (best tokens [B, max_len], best score [B]); with
     ``return_nbest`` instead returns the full beams ([B, K, max_len],
     [B, K]) sorted by normalized score -- the reference beam's n-best

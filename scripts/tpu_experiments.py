@@ -727,10 +727,71 @@ def dispatch_table():
                             scan_ms=round(gscan_ms, 3)))
         report("dispatch_gru", gkern_ms / 1e3, rows=rows,
                scan_ms=round(gscan_ms, 3))
+    entries += [e for e in dispatch._load_table()
+                if e.get("kind") == "beam_topk"]  # preserve beam rows
     dispatch.write_table(entries)
     print(json.dumps({"exp": "dispatch_table",
                       "written": str(dispatch.TABLE_PATH),
                       "n_entries": len(entries)}), flush=True)
+
+
+def dispatch_table_beam():
+    """Measure exact vs chunked top-(K+1) -- decode/beam._topk_rows, the
+    two PRODUCTION formulations, both bit-exact -- inside the current
+    beam-step computation (logits matmul -> lse shift -> per-beam
+    top-(K+1) -> combine) at the bench decode shape, and merge
+    ``beam_topk`` entries into ops/dispatch_table.json so
+    ``beam_search(topk_method='auto')`` dispatches on measurement.
+    Kc values cover the production beam widths (beam 5 -> 6, beam 3 -> 4);
+    override: dispatch_table_beam <kc...>."""
+    from context_attentive_ir_tpu.decode.beam import (_chunk_count,
+                                                      _topk_rows)
+    from context_attentive_ir_tpu.ops import dispatch
+
+    rng = np.random.RandomState(0)
+    Bq, Hh = 320, 256
+    V = VOCAB
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=5),
+                   timed(fn, *args, warmup=0, iters=5))
+
+    def scan16(method, kc, k, r):
+        @jax.jit
+        def run(h, table, prev):
+            def step(carry, _):
+                scores32 = (h @ table.T).astype(jnp.float32)
+                lse = jax.scipy.special.logsumexp(scores32, axis=-1,
+                                                  keepdims=True)
+                t1, i1 = _topk_rows(scores32, kc, method)
+                total = prev[:, None] + (t1 - lse)
+                top, i2 = jax.lax.top_k(total.reshape(Bq, -1), k)
+                return carry, top.sum() + i2.sum() + i1.sum()
+            _, outs = jax.lax.scan(step, prev, jnp.arange(16))
+            return outs
+        return run
+
+    kcs = [int(a) for a in sys.argv[2:]] or [6, 4]
+    new = []
+    for kc in kcs:
+        k = kc - 1
+        r = Bq * k
+        h = jnp.asarray(rng.normal(size=(r, Hh)) * 0.3, jnp.bfloat16)
+        table = jnp.asarray(rng.normal(size=(V, Hh)) * 0.3, jnp.bfloat16)
+        prev = jnp.zeros((r,), jnp.float32)
+        ex = timed2(scan16("exact", kc, k, r), h, table, prev)
+        ch = timed2(scan16("chunked", kc, k, r), h, table, prev)
+        report("dispatch_beam_topk", ch, kc=kc, v=V,
+               exact_ms=round(ex * 1e3, 3), chunks=_chunk_count(V, kc))
+        new.append(dict(kind="beam_topk", v=V, kc=kc,
+                        exact_ms=round(ex * 1e3, 3),
+                        chunked_ms=round(ch * 1e3, 3)))
+    merged = [e for e in dispatch._load_table()
+              if e.get("kind") != "beam_topk"] + new
+    dispatch.write_table(merged)
+    print(json.dumps({"exp": "dispatch_table_beam",
+                      "written": str(dispatch.TABLE_PATH),
+                      "n_entries": len(merged)}), flush=True)
 
 
 def scan_unroll():
@@ -1233,6 +1294,7 @@ if __name__ == "__main__":
      "scan_vs_fused": scan_vs_fused, "gru_small": gru_small,
      "score_e2e": score_e2e, "train_e2e": train_e2e,
      "beam_parts": beam_parts, "beam_topk": beam_topk,
+     "dispatch_table_beam": dispatch_table_beam,
      "indexed": indexed,
      "decode_step_only": decode_step_only, "gru_train": gru_train,
      "engine_host": engine_host, "scan_unroll": scan_unroll,

@@ -89,6 +89,41 @@ def test_beam_topk_methods_agree_end_to_end():
     np.testing.assert_allclose(np.asarray(se), np.asarray(sc), rtol=1e-6)
 
 
+def test_topk_auto_dispatch(monkeypatch, tmp_path):
+    """``auto`` resolves via the measured dispatch table on TPU and falls
+    back to exact on CPU / for unmeasured shapes (both choices are
+    bit-exact, so this only pins the dispatch policy)."""
+    from context_attentive_ir_tpu.decode import beam
+    from context_attentive_ir_tpu.ops import dispatch
+
+    # CPU backend -> always exact, regardless of table
+    assert beam._resolve_topk_method("auto", 50_000, 6) == "exact"
+    # forced methods pass through untouched
+    assert beam._resolve_topk_method("chunked", 50_000, 6) == "chunked"
+
+    monkeypatch.setattr(beam.jax, "default_backend", lambda: "tpu")
+    # TPU backend, no measured beam rows -> exact
+    assert beam._resolve_topk_method("auto", 50_000, 6) == "exact"
+
+    monkeypatch.setattr(dispatch, "TABLE_PATH", tmp_path / "t.json")
+    try:
+        dispatch.write_table([
+            dict(kind="beam_topk", v=50_000, kc=6,
+                 exact_ms=2.0, chunked_ms=1.0),
+            dict(kind="beam_topk", v=50_000, kc=4,
+                 exact_ms=1.0, chunked_ms=2.0),
+        ])
+        assert beam._resolve_topk_method("auto", 50_000, 6) == "chunked"
+        # nearest vocab in log distance at exact kc match
+        assert beam._resolve_topk_method("auto", 40_000, 6) == "chunked"
+        # measured slower -> exact
+        assert beam._resolve_topk_method("auto", 50_000, 4) == "exact"
+        # no kc match -> exact
+        assert beam._resolve_topk_method("auto", 50_000, 5) == "exact"
+    finally:
+        dispatch.reload_table()
+
+
 def test_beam_size_one_matches_greedy():
     rng = np.random.RandomState(0)
     table = rng.rand(V, V).astype(np.float32) + 1e-3
