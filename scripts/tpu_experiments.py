@@ -756,7 +756,7 @@ def dispatch_table_beam():
         return min(timed(fn, *args, warmup=2, iters=5),
                    timed(fn, *args, warmup=0, iters=5))
 
-    def scan16(method, kc, k, r):
+    def scan16(method, kc, k):
         @jax.jit
         def run(h, table, prev):
             def step(carry, _):
@@ -779,8 +779,8 @@ def dispatch_table_beam():
         h = jnp.asarray(rng.normal(size=(r, Hh)) * 0.3, jnp.bfloat16)
         table = jnp.asarray(rng.normal(size=(V, Hh)) * 0.3, jnp.bfloat16)
         prev = jnp.zeros((r,), jnp.float32)
-        ex = timed2(scan16("exact", kc, k, r), h, table, prev)
-        ch = timed2(scan16("chunked", kc, k, r), h, table, prev)
+        ex = timed2(scan16("exact", kc, k), h, table, prev)
+        ch = timed2(scan16("chunked", kc, k), h, table, prev)
         report("dispatch_beam_topk", ch, kc=kc, v=V,
                exact_ms=round(ex * 1e3, 3), chunks=_chunk_count(V, kc))
         new.append(dict(kind="beam_topk", v=V, kc=kc,
