@@ -1286,7 +1286,30 @@ def suggest():
                qps=round(64 * 5 / ms, 1))
 
 
+def _backend_up_or_die(timeout_s: float) -> None:
+    """Fail fast if the axon tunnel is wedged at backend init (it can
+    block forever instead of raising UNAVAILABLE -- CLAUDE.md round-3
+    outage). Covers init + one tiny fenced op only, never compiles."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps({"error": "TPU backend init exceeded "
+                              f"{timeout_s:.0f}s (tunnel wedged?)"}),
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    jax.devices()
+    float(jax.device_get(jnp.ones((8,), jnp.float32).sum()))
+    done.set()
+
+
 if __name__ == "__main__":
+    _backend_up_or_die(float(os.environ.get("TPU_EXP_BACKEND_TIMEOUT",
+                                            300)))
     exp = sys.argv[1] if len(sys.argv) > 1 else "pool"
     {"lstm_sweep": lstm_sweep, "lstm_bwd_sweep": lstm_bwd_sweep,
      "gather": gather, "gather_kernel": gather_kernel,
