@@ -89,6 +89,23 @@ def test_beam_topk_methods_agree_end_to_end():
     np.testing.assert_allclose(np.asarray(se), np.asarray(sc), rtol=1e-6)
 
 
+def test_beam_topk_approx_path_runs():
+    """The opt-in ``approx`` method (TPU approx_max_k) must at least
+    trace/compile and produce well-formed beams (on CPU the primitive
+    reduces to exact top-k, so outputs match the exact beam here)."""
+    vv = 96
+    rng = np.random.RandomState(5)
+    logits = jnp.asarray(rng.normal(size=(vv, vv)).astype(np.float32))
+
+    def step(state, tokens):
+        return state, logits[tokens]
+
+    ta, sa = beam_search(step, (), 4, 6, beam_size=5, topk_method="approx")
+    te, se = beam_search(step, (), 4, 6, beam_size=5, topk_method="exact")
+    assert ta.shape == te.shape and sa.shape == se.shape
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(te))
+
+
 def test_topk_auto_dispatch(monkeypatch, tmp_path):
     """``auto`` resolves via the measured dispatch table on TPU and falls
     back to exact on CPU / for unmeasured shapes (both choices are
