@@ -271,6 +271,14 @@ class CARS(nn.Module):
     def _decoder_inputs(self, q_states, q_ctx, sq, sc, batch):
         """Context-enriched decoder memory + init state, flattened [B*S]."""
         B, S, Lq = batch.query.shape
+        if self.config.cars_ablation == "no_context_attn":
+            # diagnostic contract (config.py): under this ablation NO
+            # history reaches EITHER head.  context_attend already passes
+            # the raw query vector through; the decoder init's session
+            # flows are the only other history pathway, so blind them too
+            # (tested: test_models.py ablation suggestion-blindness).
+            sq = jnp.zeros_like(sq)
+            sc = jnp.zeros_like(sc)
         ctx_b = jnp.broadcast_to(q_ctx[:, :, None, :],
                                  q_states.shape[:3] + (q_ctx.shape[-1],))
         memory = jnp.tanh(self.mem_proj(

@@ -170,8 +170,7 @@ def main():
             # are cached in results.jsonl either way
             resume=True)
         t0 = time.time()
-        tr = Trainer(cfg, run, word_dict,
-                     pretrained=table if model_type == "esm" else table)
+        tr = Trainer(cfg, run, word_dict, pretrained=table)
         tr.fit(train, dev)
         res = tr.test(test)
         row = {"model": model_type,

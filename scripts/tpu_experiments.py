@@ -37,6 +37,36 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+
+def _arm_backend_watchdog(timeout_s: float):
+    """Fail fast if the axon tunnel is wedged (it can block forever at
+    backend init OR inside ``import jax`` itself -- CLAUDE.md round-3
+    outage -- instead of raising UNAVAILABLE).  Must be armed BEFORE the
+    module-level ``import jax`` below so the import-time wedge is covered
+    too; disarmed in ``__main__`` after one tiny fenced op, so compiles
+    (which legitimately take minutes) are never under the timer.
+    Twin: bench.py:_backend_up_or_die (imports jax inside the guarded
+    function instead, same effect)."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps({"error": "TPU backend init exceeded "
+                              f"{timeout_s:.0f}s (tunnel wedged?)"}),
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return done
+
+
+_BACKEND_DONE = None
+if __name__ == "__main__":
+    _BACKEND_DONE = _arm_backend_watchdog(
+        float(os.environ.get("TPU_EXP_BACKEND_TIMEOUT", 300)))
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -46,9 +76,11 @@ VOCAB = 50_000
 
 
 def timed(fn, *args, warmup=2, iters=10):
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    if out is not None:  # warmup=0: prior timed() call already fenced
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -1286,30 +1318,12 @@ def suggest():
                qps=round(64 * 5 / ms, 1))
 
 
-def _backend_up_or_die(timeout_s: float) -> None:
-    """Fail fast if the axon tunnel is wedged at backend init (it can
-    block forever instead of raising UNAVAILABLE -- CLAUDE.md round-3
-    outage). Covers init + one tiny fenced op only, never compiles."""
-    import threading
-
-    done = threading.Event()
-
-    def watchdog():
-        if not done.wait(timeout_s):
-            print(json.dumps({"error": "TPU backend init exceeded "
-                              f"{timeout_s:.0f}s (tunnel wedged?)"}),
-                  file=sys.stderr, flush=True)
-            os._exit(3)
-
-    threading.Thread(target=watchdog, daemon=True).start()
+if __name__ == "__main__":
+    # watchdog was armed before `import jax` (top of file); disarm once
+    # backend init + one tiny fenced op complete
     jax.devices()
     float(jax.device_get(jnp.ones((8,), jnp.float32).sum()))
-    done.set()
-
-
-if __name__ == "__main__":
-    _backend_up_or_die(float(os.environ.get("TPU_EXP_BACKEND_TIMEOUT",
-                                            300)))
+    _BACKEND_DONE.set()
     exp = sys.argv[1] if len(sys.argv) > 1 else "pool"
     {"lstm_sweep": lstm_sweep, "lstm_bwd_sweep": lstm_bwd_sweep,
      "gather": gather, "gather_kernel": gather_kernel,

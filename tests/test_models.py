@@ -192,15 +192,27 @@ def test_cars_ablation_variants(data):
         sq = np.asarray(model.apply(params, b_query, method=model.score))
         d_click = np.abs(s0[0, t_last] - sc[0, t_last]).max()
         d_query = np.abs(s0[0, t_last] - sq[0, t_last]).max()
+        # the SUGGESTION head must honour the same information-flow
+        # contract (the decoder init carries the session flows; under
+        # no_context_attn they are blinded too -- cars._decoder_inputs)
+        g0 = np.asarray(model.apply(params, batch, True)["gen_logits"])
+        gc = np.asarray(model.apply(params, b_click, True)["gen_logits"])
+        gq = np.asarray(model.apply(params, b_query, True)["gen_logits"])
+        dg_click = np.abs(g0[0, t_last] - gc[0, t_last]).max()
+        dg_query = np.abs(g0[0, t_last] - gq[0, t_last]).max()
         if ablation == "none":
             assert "click_flow" in params["params"]
             assert d_click > 1e-6 and d_query > 1e-6
+            assert dg_click > 1e-6 and dg_query > 1e-6
         elif ablation == "no_click_flow":
             assert "click_flow" not in params["params"]
             assert d_click < 1e-6          # clicks never reach ranking
             assert d_query > 1e-6          # query history still does
+            assert dg_click < 1e-6         # ... nor the decoder
+            assert dg_query > 1e-6
         else:  # no_context_attn: turn t sees only its own query + slate
             assert d_click < 1e-6 and d_query < 1e-6
+            assert dg_click < 1e-6 and dg_query < 1e-6
 
 
 def test_dssm_charngram(data):
