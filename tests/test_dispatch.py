@@ -110,3 +110,37 @@ def test_write_table_round_trip(tmp_path):
                                       "bfloat16", False)
     finally:
         _restore(old)
+
+
+def _beam_entry(v, kc, chunked_ms, exact_ms):
+    return dict(kind="beam_topk", v=v, kc=kc,
+                chunked_ms=chunked_ms, exact_ms=exact_ms)
+
+
+def test_beam_topk_dispatch(tmp_path):
+    """prefer_chunked_topk: exact kc match, nearest vocab by log
+    distance, and unmeasured -> exact (False) — the policy behind
+    beam_search(topk_method='auto') (decode/beam._resolve_topk_method)."""
+    old = _with_table(tmp_path, [
+        _beam_entry(50_000, 6, chunked_ms=1.2, exact_ms=2.0),  # chunked wins
+        _beam_entry(5_000, 6, chunked_ms=1.0, exact_ms=0.5),   # exact wins
+        _beam_entry(50_000, 4, chunked_ms=3.0, exact_ms=1.0),  # exact wins
+    ])
+    try:
+        pc = dispatch.prefer_chunked_topk
+        assert pc(50_000, 6)
+        assert pc(40_000, 6)          # nearest-v: 50k row decides
+        assert not pc(5_000, 6)
+        assert not pc(50_000, 4)      # kc is an exact-match key
+        assert not pc(50_000, 5)      # unmeasured kc -> exact
+    finally:
+        _restore(old)
+
+
+def test_beam_topk_unmeasured_table_is_exact():
+    """With no beam rows in the shipped table, 'auto' must resolve to the
+    exact baseline everywhere (round-3 outage contract, PERF.md r3 #8)."""
+    dispatch.reload_table()
+    rows = [x for x in dispatch._load_table() if x["kind"] == "beam_topk"]
+    if not rows:  # pre-measurement state: policy must be exact
+        assert not dispatch.prefer_chunked_topk(50_000, 6)
