@@ -1,6 +1,7 @@
 """Decoding: greedy rollout + beam search (SURVEY.md SS2.7)."""
 
-from .beam import beam_search, length_penalty
+from .beam import beam_search
+from .penalties import length_wu as length_penalty  # back-compat alias
 from .greedy import greedy_decode
 
 __all__ = ["beam_search", "greedy_decode", "length_penalty"]

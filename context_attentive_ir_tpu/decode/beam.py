@@ -51,10 +51,6 @@ def _gather_beams(tree, parent: jnp.ndarray, batch_size: int,
         lambda x: jnp.take(x, flat_idx, axis=0), tree)
 
 
-def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
-    return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
-
-
 def _chunk_count(v: int, kc: int) -> int:
     """Largest G <= 32 with G | V and V/G >= 4*Kc (0 if none)."""
     for g in range(32, 1, -1):
@@ -112,7 +108,7 @@ def _topk_rows(scores: jnp.ndarray, kc: int, method: str):
 
 def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
                 beam_size: int = 5, alpha: float = 0.6,
-                vocab_size: int | None = None, return_nbest: bool = False,
+                return_nbest: bool = False,
                 min_length: int = 0, length_penalty: str = "wu",
                 coverage_beta: float = 0.0, coverage_penalty: str = "wu",
                 cov_mask: jnp.ndarray | None = None,

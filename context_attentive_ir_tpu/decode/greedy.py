@@ -14,24 +14,34 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import BOS, EOS, PAD
+from ..ops.masking import NEG_INF
 
 StepFn = Callable[..., tuple]  # (state, tokens) -> (state, logprobs [B, V])
 
 
 def greedy_decode(step_fn: StepFn, init_state, batch_size: int,
-                  max_len: int):
-    """Returns (tokens [B, max_len], logprob_sum [B])."""
+                  max_len: int, min_length: int = 0):
+    """Returns (tokens [B, max_len], logprob_sum [B]).
 
-    def body(carry, _):
+    ``min_length`` forbids EOS before that many real tokens (the same
+    contract as ``beam_search``'s, so a beam_size=1 run honours the
+    configured ``min_decode_len``)."""
+
+    def body(carry, t):
         state, tokens, finished, total = carry
         out = step_fn(state, tokens)
         state, logp = out[0], out[1]   # step may also return attention
-        next_tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         # steps may return raw logits (see decode/beam.py): normalize the
         # accumulated score with one logsumexp reduction (a no-op shift,
-        # ~0, when the step already returns log-probs)
+        # ~0, when the step already returns log-probs); computed BEFORE
+        # any EOS block so the normalizer matches the model distribution
         lse = jax.scipy.special.logsumexp(
             logp.astype(jnp.float32), axis=-1)
+        if min_length > 0:
+            block = (jnp.arange(logp.shape[-1]) == EOS)[None, :] & (
+                t < min_length)
+            logp = jnp.where(block, NEG_INF, logp)
+        next_tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         step_lp = jnp.max(logp, axis=-1).astype(jnp.float32) - lse
         next_tok = jnp.where(finished, PAD, next_tok)
         total = total + jnp.where(finished, 0.0, step_lp)
@@ -42,5 +52,5 @@ def greedy_decode(step_fn: StepFn, init_state, batch_size: int,
     fin = jnp.zeros((batch_size,), bool)
     tot = jnp.zeros((batch_size,), jnp.float32)
     (_, _, _, total), toks = jax.lax.scan(
-        body, (init_state, bos, fin, tot), None, length=max_len)
+        body, (init_state, bos, fin, tot), jnp.arange(max_len))
     return jnp.swapaxes(toks, 0, 1), total

@@ -111,11 +111,20 @@ class Engine:
         model = build_model(config)
         shapes = shapes_from_config(config)
         dummy_q = Query("q", ["x"], [Document("d", ["x"], 0)])
-        if task_family(config.model_type) == "recommender":
+        family = task_family(config.model_type)
+        if family == "recommender":
             from .data import build_suggest_batch
 
             batch = build_suggest_batch([([dummy_q], dummy_q, dummy_q)],
                                         word_dict, shapes, batch_size=1)
+        elif family == "ranker":
+            # rankers take flat (query, slate) RankBatch rows, not the
+            # session tensors (models/rankers/*): init with the matching
+            # structure or params never materialize
+            from .data import build_rank_batch
+
+            batch = build_rank_batch([dummy_q], word_dict, shapes,
+                                     batch_size=1)
         else:
             batch = build_session_batch([Session("s", [dummy_q])],
                                         word_dict, shapes, batch_size=1)
@@ -151,14 +160,9 @@ class Engine:
             return self.model.apply({"params": params}, batch,
                                     method=self.model.score)
         if self.family == "ranker":
-            from .data.vectorize import RankBatch
-
-            rb = RankBatch(
-                query=batch.query[:, -1], query_mask=batch.query_mask[:, -1],
-                docs=batch.docs[:, -1], doc_mask=batch.doc_mask[:, -1],
-                labels=batch.clicks[:, -1], cand_mask=batch.cand_mask[:, -1],
-                row_mask=batch.row_mask)
-            return self.model.apply({"params": params}, rb, True)
+            # batch is a flat RankBatch (rankers are session-blind; the
+            # request's current query + slate form one row)
+            return self.model.apply({"params": params}, batch, True)
         raise ServeError(f"{self.config.model_type} cannot rank")
 
     def rank(self, query: str, docs: Sequence[str],
@@ -168,12 +172,28 @@ class Engine:
 
     def rank_batch(self, requests: Sequence[tuple]) -> list[list[float]]:
         """requests: [(query, docs, history)] -> per-request doc scores."""
+        for r in requests:
+            if len(r[1]) > self.shapes.num_candidates:
+                raise ServeError(
+                    f"{len(r[1])} documents exceed the slate size "
+                    f"({self.shapes.num_candidates}); raise num_candidates "
+                    "or split the request")
         sessions = [self._to_sessions(h, q, d) for q, d, h in
                     ((r[0], r[1], r[2] if len(r) > 2 else ())
                      for r in requests)]
         B = self._bucket(len(sessions))
-        batch = build_session_batch(sessions, self.word_dict, self.shapes,
-                                    batch_size=B)
+        if self.family == "ranker":
+            # session-blind models score flat (current query, slate) rows;
+            # one row per request (the session's current = last query), so
+            # rows stay aligned even for an empty slate
+            from .data import build_rank_batch
+
+            batch = build_rank_batch([s.queries[-1] for s in sessions],
+                                     self.word_dict, self.shapes,
+                                     batch_size=B)
+        else:
+            batch = build_session_batch(sessions, self.word_dict,
+                                        self.shapes, batch_size=B)
         scores = np.asarray(jax.device_get(
             self._score_jit(self.params, batch)), np.float32)
         out = []

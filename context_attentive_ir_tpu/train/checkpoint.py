@@ -105,9 +105,20 @@ class Checkpointer:
             (tmp / CONFIG_FILE).write_text(cfg_json)
             (tmp / VOCAB_FILE).write_text(vocab_json)
             (tmp / EXTRA_FILE).write_text(extra_json)
+            # Crash-safe swap: never a moment where no complete copy
+            # exists on disk.  The prior checkpoint is renamed aside (not
+            # deleted) before the new one takes its place; readers fall
+            # back to the ``.old`` copy for the one-rename window where
+            # the primary name is vacant (``resolve``).
             if path.exists():
-                shutil.rmtree(path)
-            tmp.rename(path)
+                old = path.with_suffix(path.suffix + ".old")
+                if old.exists():
+                    shutil.rmtree(old)
+                path.rename(old)
+                tmp.rename(path)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                tmp.rename(path)
 
         if self.async_save:
             self._thread = threading.Thread(target=write, daemon=True)
@@ -123,9 +134,20 @@ class Checkpointer:
     # -- loading -------------------------------------------------------------
 
     @staticmethod
+    def resolve(path: str | Path) -> Path:
+        """The readable copy of a checkpoint: the primary directory, or
+        the rename-aside ``.old`` copy if a crash landed inside the
+        (tiny) swap window where the primary name was vacant."""
+        path = Path(path)
+        if path.exists():
+            return path
+        old = path.with_suffix(path.suffix + ".old")
+        return old if old.exists() else path
+
+    @staticmethod
     def peek(path: str | Path) -> tuple[ModelConfig, Dictionary, dict]:
         """Read config/vocab/extra without a state template (for rebuild)."""
-        path = Path(path)
+        path = Checkpointer.resolve(path)
         config = ModelConfig.from_json((path / CONFIG_FILE).read_text())
         vocab = Dictionary.from_json((path / VOCAB_FILE).read_text())
         extra = json.loads((path / EXTRA_FILE).read_text())
@@ -135,7 +157,7 @@ class Checkpointer:
     def load(path: str | Path, state_template) -> Any:
         """Restore a train state into ``state_template``'s structure
         (backend auto-detected from the checkpoint contents)."""
-        path = Path(path)
+        path = Checkpointer.resolve(path)
         if (path / STATE_FILE).exists():
             blob = (path / STATE_FILE).read_bytes()
             return serialization.from_bytes(state_template, blob)

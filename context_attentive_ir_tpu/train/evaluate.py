@@ -71,7 +71,9 @@ def build_decode_fn(model, config: ModelConfig, beam_size: int = 1,
             step = lambda st, toks: model.apply(
                 var, st, toks, memory, memory_mask,
                 method=model.decode_step, **kwargs)
-            seqs, _ = greedy_decode(step, state, rows, max_len)
+            seqs, _ = greedy_decode(step, state, rows, max_len,
+                                    min_length=beam_kw.get(
+                                        'min_length', 0))
         return seqs
 
     fast = jax.jit(partial(decode, init_method=model.decode_init))

@@ -160,7 +160,8 @@ class Trainer:
             self.state = self.state.replace(params=Checkpointer.load(
                 self.run.pretrained_path, self.state).params)
             logger.info("Warm-started from %s", self.run.pretrained_path)
-        if self.run.resume and self.ckpt.latest_path.exists():
+        if (self.run.resume and
+                Checkpointer.resolve(self.ckpt.latest_path).exists()):
             _, _, extra = Checkpointer.peek(self.ckpt.latest_path)
             self.state = Checkpointer.load(self.ckpt.latest_path, self.state)
             self.start_epoch = int(extra.get("epoch", -1)) + 1
@@ -198,13 +199,15 @@ class Trainer:
                 self.state, m = self.train_step(self.state, batch, self.rng)
                 # materializing the loss forces a device sync; sample it at
                 # display intervals so dispatch runs ahead of the device
-                if (i + 1) % run.display_iter == 0:
+                sampled = (i + 1) % run.display_iter == 0
+                if sampled:
                     loss_meter.update(float(m["loss"]))
                     logger.info(
                         "epoch %d iter %d/%d loss %.4f (avg %.4f) %.1fs",
                         epoch, i + 1, len(train_it), loss_meter.val,
                         loss_meter.avg, timer.time())
-            if m is not None:
+            # fold in the final batch unless the display interval just did
+            if m is not None and not sampled:
                 loss_meter.update(float(m["loss"]))
             valid = self.validate(dev_batches)
             self.metrics.write("epoch", step=epoch, epoch=epoch,
@@ -248,7 +251,7 @@ class Trainer:
     def test(self, test_sessions: list[Session],
              from_best: bool = True, dump_prefix=None) -> dict:
         """Final official test eval (reference SS3.3/SS3.4)."""
-        if from_best and self.ckpt.best_path.exists():
+        if from_best and Checkpointer.resolve(self.ckpt.best_path).exists():
             self.ckpt.wait()
             if self.state is None:
                 it = make_iterator(test_sessions, self.config,

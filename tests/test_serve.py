@@ -102,6 +102,12 @@ def test_quantized_embedding_engine(trained_cars):
     assert np.isfinite(s8).all()
     np.testing.assert_allclose(s8, s32, atol=0.08, rtol=0.1)
     np.testing.assert_array_equal(np.argsort(-s8), np.argsort(-s32))
+    # tied-generator decode through the int8 table (scale-after-matmul
+    # attend path): close to the f32 engine's hypotheses
+    g32 = eng32.suggest(history + [" ".join(q.tokens)])
+    g8 = eng8.suggest(history + [" ".join(q.tokens)])
+    assert np.isfinite(g8[0][1])
+    assert abs(g8[0][1] - g32[0][1]) < 0.5
 
 
 def test_engine_recommender_family(tmp_path):
@@ -332,3 +338,65 @@ def test_suggest_batch_recommender(tmp_path):
         # clicked-doc tuples are accepted (and ignored) by recommenders
     tup = eng.suggest([("jazz guitar", ["jazz guitar chord lesson"])])
     assert tup and np.isfinite(tup[0][1])
+
+
+def test_ranker_family_serving(tmp_path):
+    """Ranker checkpoints serve through Engine (round-3 review fix: the
+    init template and scoring batch are flat RankBatch rows, and short
+    sessions score the REAL current query, not the padded last turn)."""
+    from context_attentive_ir_tpu.data import (build_dictionary, build_rank_batch,
+                                               generate_sessions)
+    from context_attentive_ir_tpu.data.objects import Session
+    from context_attentive_ir_tpu.data.vectorize import ShapeConfig
+    from context_attentive_ir_tpu.models import build_model
+    from context_attentive_ir_tpu.serve import ServeError
+    from context_attentive_ir_tpu.train.checkpoint import Checkpointer
+
+    sessions = [Session.from_dict(d)
+                for d in generate_sessions(n_sessions=8, n_candidates=5,
+                                           seed=17)]
+    for s in sessions:
+        s.queries = s.queries[:3]
+        for q in s.queries:
+            q.tokens = q.tokens[:6]
+            q.documents = q.documents[:5]
+            for d in q.documents:
+                d.tokens = d.tokens[:8]
+    streams = [q.tokens for s in sessions for q in s.queries]
+    streams += [d.tokens for s in sessions for q in s.queries
+                for d in q.documents]
+    word_dict = build_dictionary(streams)
+    cfg = default_config("dssm").replace(vocab_size=len(word_dict), **DIMS)
+    run = RunConfig(model_dir=str(tmp_path), model_name="dssm_srv",
+                    batch_size=8, test_batch_size=8, num_epochs=1,
+                    display_iter=100, async_checkpoint=False)
+    tr = Trainer(cfg, run, word_dict, use_mesh=False)
+    tr.fit(sessions, sessions)
+
+    eng = Engine.from_checkpoint(tr.ckpt.best_path, beam_size=1)
+    q = sessions[0].queries[-1]
+    docs = [" ".join(d.tokens) for d in q.documents]
+    # a 1-turn request (session FAR below max_session_len)
+    scores = eng.rank(" ".join(q.tokens), docs)
+    assert len(scores) == len(docs)
+    assert all(np.isfinite(s) for s in scores)
+
+    # ground truth: the model applied directly to the same RankBatch row
+    saved_cfg, wd, _ = Checkpointer.peek(tr.ckpt.best_path)
+    model = build_model(saved_cfg)
+    shapes = ShapeConfig(max_query_len=saved_cfg.max_query_len,
+                         max_doc_len=saved_cfg.max_doc_len,
+                         max_session_len=saved_cfg.max_session_len,
+                         num_candidates=saved_cfg.num_candidates)
+    sess = eng._to_sessions((), " ".join(q.tokens), docs)
+    rb = build_rank_batch([sess.queries[-1]], wd, shapes,
+                          batch_size=eng._bucket(1))
+    direct = np.asarray(model.apply({"params": eng.params}, rb, True))
+    np.testing.assert_allclose(scores, direct[0, : len(docs)], atol=1e-5)
+
+    # oversized slates raise instead of silently truncating
+    with pytest.raises(ServeError):
+        eng.rank("q", ["d"] * (DIMS["num_candidates"] + 1))
+    # suggestion is a capability rankers do not have
+    with pytest.raises(ServeError):
+        eng.suggest(["a query"])

@@ -263,3 +263,53 @@ def test_checkpoint_orbax_backend(data, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_swap_crash_window(data, tmp_path):
+    """A crash between the rename-aside and the final rename must not
+    lose the model: readers resolve to the ``.old`` copy (round-3 review
+    fix -- the old rmtree-then-rename window destroyed both copies)."""
+    sessions, word_dict = data
+    cfg = default_config("dssm").replace(vocab_size=len(word_dict), **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=4,
+                       shuffle=False, seed=0)
+    batch = next(iter(it.epoch(0)))
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    ck = Checkpointer(tmp_path, "m", async_save=False)
+    ck.save_best(state, cfg, word_dict, {"epoch": 1})
+    # second save must leave a complete copy on disk at every instant;
+    # simulate the one-rename crash window by re-creating it: primary
+    # renamed aside, replacement not yet in place
+    ck.save_best(state, cfg, word_dict, {"epoch": 2})
+    old = ck.best_path.with_suffix(ck.best_path.suffix + ".old")
+    ck.best_path.rename(old)
+    assert Checkpointer.resolve(ck.best_path) == old
+    cfg2, wd2, extra2 = Checkpointer.peek(ck.best_path)
+    assert extra2["epoch"] == 2 and len(wd2) == len(word_dict)
+    state2 = create_train_state(model, cfg2, batch, jax.random.key(9))
+    restored = Checkpointer.load(ck.best_path, state2)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_greedy_min_decode_len(data, tmp_path):
+    """min_decode_len reaches the GREEDY path too (round-3 review fix:
+    beam_size=1 silently dropped it)."""
+    from context_attentive_ir_tpu.constants import EOS
+    from context_attentive_ir_tpu.decode import greedy_decode
+    import jax.numpy as jnp
+
+    V = 7
+
+    def step(state, toks):
+        # a step function that always prefers EOS
+        logits = jnp.zeros((toks.shape[0], V)).at[:, EOS].set(5.0)
+        return state, logits
+
+    toks_free, _ = greedy_decode(step, {}, 2, 6)
+    toks_min, _ = greedy_decode(step, {}, 2, 6, min_length=3)
+    # unconstrained: EOS immediately; constrained: EOS first allowed at t=3
+    assert int((toks_free == EOS).argmax(axis=1).max()) == 0
+    assert int((toks_min == EOS).argmax(axis=1).min()) == 3
