@@ -32,4 +32,6 @@ NUM_CANDIDATES = 50
 
 # Character-level defaults (word hashing / char-CNN analogue, SURVEY.md SS2.3).
 MAX_WORD_LEN = 16
-CHAR_VOCAB_SIZE = 262  # 256 byte values + specials
+# 256 byte values + the 4 special ids (= len(CharDictionary()));
+# the single source of truth for char-table sizing (DSSM CharCNN)
+CHAR_VOCAB_SIZE = 256 + len(SPECIAL_TOKENS)

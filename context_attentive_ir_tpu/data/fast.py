@@ -1,5 +1,15 @@
 """ctypes bindings for the native fast vectorizer (native/fastvec.cpp).
 
+Parity target: the reference's vectorize/batchify hot loop
+(SURVEY.md SS2.1 'Vectorizer'/'Batcher', marker ``exp:``) -- the rebuild's
+native-component obligation (SURVEY.md SS2.12) covers the single-core
+host input pipeline with C++ instead of Python.
+
+Precondition: tokens are whitespace-free and non-empty (true for every
+token ``load_data`` produces -- it whitespace-splits).  The native path
+re-joins tokens with spaces and re-splits in C++, so tokens violating
+this diverge from the Python fallback.
+
 Loads ``build/libfastvec.so`` if present, otherwise compiles it once with
 g++ (cached).  Every entry point has a pure-Python fallback in
 ``vectorize.py`` -- the native path is an accelerator, not a dependency

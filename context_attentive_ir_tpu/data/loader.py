@@ -58,6 +58,8 @@ def load_data(
             line = line.strip()
             if not line:
                 continue
+            if 0 <= max_examples <= len(sessions):
+                break
             sess = Session.from_dict(json.loads(line))
             if max_session_len is not None:
                 sess.queries = sess.queries[:max_session_len]
@@ -69,17 +71,17 @@ def load_data(
             if len(sess.queries) == 0:
                 continue
             sessions.append(sess)
-            if 0 <= max_examples <= len(sessions):
-                break
     logger.info("Loaded %d sessions from %s", len(sessions), filename)
     return sessions
 
 
-def load_embedding_words(embedding_file: str | Path) -> set[str]:
+def load_embedding_words(embedding_file: str | Path,
+                         uncase: bool = True) -> set[str]:
     """The vocabulary of a GloVe-format text embedding file.
 
     Used for ``--restrict_vocab``-style dictionary restriction
-    (SURVEY.md SS2.1 'Embedding loader').
+    (SURVEY.md SS2.1 'Embedding loader').  ``uncase`` must match the
+    Dictionary's case convention or cased vocab entries never intersect.
     """
     words: set[str] = set()
     with _open(embedding_file) as f:
@@ -87,7 +89,7 @@ def load_embedding_words(embedding_file: str | Path) -> set[str]:
             parts = line.rstrip().split(" ")
             if len(parts) < 2:
                 continue
-            words.add(normalize(parts[0]))
+            words.add(normalize(parts[0], uncase))
     return words
 
 
@@ -113,7 +115,9 @@ def load_embeddings(
             parts = line.rstrip().split(" ")
             if len(parts) != dim + 1:
                 continue
-            w = normalize(parts[0])
+            # match the Dictionary's case convention (a case-sensitive
+            # vocabulary would otherwise miss every cased pretrained row)
+            w = normalize(parts[0], word_dict.uncase)
             if w in word_dict.tok2ind:
                 idx = word_dict.tok2ind[w]
                 vec = np.asarray(parts[1:], dtype=np.float32)

@@ -275,7 +275,10 @@ def build_suggest_batch(
         for t, q in enumerate(ctx[-S:]):
             context[i, t], context_mask[i, t] = _encode_query(q, word_dict, Lq)
             turn_mask[i, t] = True
-            flat.extend(word_dict.encode(q.tokens))
+            # truncate per turn like `context` does: keeps source/context
+            # in agreement AND bounds flat at S*Lq = Lsrc, so the newest
+            # turns (the strongest signal) can never be cut by _pad_ids
+            flat.extend(word_dict.encode(q.tokens[:Lq]))
         source[i], source_mask[i] = _pad_ids(flat, Lsrc)
         target_in[i], target_out[i], target_mask[i] = _encode_target(
             nxt, word_dict, Lt)

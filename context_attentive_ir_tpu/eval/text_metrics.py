@@ -15,6 +15,7 @@ Tokens = Sequence[str]
 
 def exact_match(hypotheses: Sequence[Tokens],
                 references: Sequence[Tokens]) -> float:
+    assert len(hypotheses) == len(references)
     if not hypotheses:
         return 0.0
     hits = sum(list(h) == list(r) for h, r in zip(hypotheses, references))
@@ -23,6 +24,7 @@ def exact_match(hypotheses: Sequence[Tokens],
 
 def token_f1(hypotheses: Sequence[Tokens],
              references: Sequence[Tokens]) -> float:
+    assert len(hypotheses) == len(references)
     if not hypotheses:
         return 0.0
     total = 0.0

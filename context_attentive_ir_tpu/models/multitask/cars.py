@@ -263,10 +263,10 @@ class CARS(nn.Module):
         del B, H
         return g * qv + (1.0 - g) * context
 
-    def rank_scores(self, q_ctx, dv):
+    def rank_scores(self, q_ctx, dv, deterministic: bool = True):
         qb = jnp.broadcast_to(q_ctx[:, :, None, :], dv.shape)
         feats = jnp.concatenate([qb, dv, qb * dv], axis=-1)
-        return self.rank_mlp(feats, True)[..., 0]              # [B, S, N]
+        return self.rank_mlp(feats, deterministic)[..., 0]     # [B, S, N]
 
     def _decoder_inputs(self, q_states, q_ctx, sq, sc, batch):
         """Context-enriched decoder memory + init state, flattened [B*S]."""
@@ -296,7 +296,7 @@ class CARS(nn.Module):
         Lt = batch.target_in.shape[-1]
         q_states, qv, dv, sq, sc = self.encode_session(batch, deterministic)
         q_ctx = self.context_attend(qv, sq, sc, batch.turn_mask)
-        scores = self.rank_scores(q_ctx, dv)
+        scores = self.rank_scores(q_ctx, dv, deterministic)
         memory, mem_mask, init = self._decoder_inputs(q_states, q_ctx, sq,
                                                       sc, batch)
         tgt = self.embeddings(batch.target_in, deterministic)

@@ -111,16 +111,17 @@ class MMatchTensor(nn.Module):
         sess, _ = self.session_rnn(qv, batch.turn_mask)        # [B, S, H2]
         return q_states, z, sess
 
-    def rank_scores(self, z, sess):
+    def rank_scores(self, z, sess, deterministic: bool = True):
         sb = jnp.broadcast_to(sess[:, :, None, :],
                               z.shape[:3] + (sess.shape[-1],))
-        return self.rank_mlp(jnp.concatenate([z, sb], -1), True)[..., 0]
+        return self.rank_mlp(jnp.concatenate([z, sb], -1),
+                             deterministic)[..., 0]
 
     def __call__(self, batch: SessionBatch, deterministic: bool = True):
         B, S, _ = batch.query.shape
         Lt = batch.target_in.shape[-1]
         q_states, z, sess = self.encode_session(batch, deterministic)
-        scores = self.rank_scores(z, sess)
+        scores = self.rank_scores(z, sess, deterministic)
         memory = jnp.broadcast_to(sess[:, None], (B, S) + sess.shape[1:])
         memory = memory.reshape(B * S, S, -1)
         mem_mask = inclusive_causal_mask(batch.turn_mask).reshape(B * S, S)

@@ -95,7 +95,7 @@ class MNSRF(nn.Module):
         sess, _ = self.session_rnn(qv, batch.turn_mask)       # [B, S, H2]
         return qv, dv, sess
 
-    def rank_scores(self, qv, dv, sess):
+    def rank_scores(self, qv, dv, sess, deterministic: bool = True):
         # Session-aware query representation, interacted MULTIPLICATIVELY
         # with the document (SURVEY.md SS2.6: "MLP/bilinear on (query,
         # doc, session-state)").  Root-caused in round 3 (VERDICT r2
@@ -110,7 +110,7 @@ class MNSRF(nn.Module):
         qs = jnp.tanh(self.sess_mix(jnp.concatenate([qv, sess], -1)))
         qb = jnp.broadcast_to(qs[:, :, None, :], dv.shape)
         feats = jnp.concatenate([qb, dv, qb * dv], axis=-1)
-        return self.rank_mlp(feats, True)[..., 0]             # [B, S, N]
+        return self.rank_mlp(feats, deterministic)[..., 0]    # [B, S, N]
 
     # -- forward -------------------------------------------------------------
 
@@ -118,7 +118,7 @@ class MNSRF(nn.Module):
         B, S, _ = batch.query.shape
         Lt = batch.target_in.shape[-1]
         qv, dv, sess = self.encode_session(batch, deterministic)
-        scores = self.rank_scores(qv, dv, sess)
+        scores = self.rank_scores(qv, dv, sess, deterministic)
 
         # suggestion: every turn decodes its next query in one flat pass
         memory = jnp.broadcast_to(sess[:, None], (B, S) + sess.shape[1:])

@@ -41,7 +41,10 @@ class ARCI(nn.Module):
         emb = make_embeddings(cfg, self.pretrained)
 
         def encode(x, mask, name):
-            h = x
+            # zero pad-position embeddings: SAME-padding convs otherwise
+            # read (trainable, nonzero) PAD vectors through the receptive
+            # field of boundary positions (pad-content invariance test)
+            h = x * mask[..., None].astype(x.dtype)
             for i, w in enumerate(cfg.filter_widths):
                 h = nn.Conv(cfg.nfilters, kernel_size=(w,), padding="SAME",
                             dtype=dt, name=f"{name}_conv{i}")(h)

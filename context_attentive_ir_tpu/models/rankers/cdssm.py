@@ -34,6 +34,9 @@ class _ConvTower(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         """x [B, T, E], mask [B, T] -> [B, out_dim]."""
+        # zero pad positions first: the convs' receptive fields otherwise
+        # read PAD embeddings from neighbouring (masked) slots
+        x = x * mask[..., None].astype(x.dtype)
         feats = []
         for w in self.widths:
             h = nn.Conv(self.nfilters, kernel_size=(w,), padding="SAME",

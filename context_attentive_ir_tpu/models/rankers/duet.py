@@ -23,7 +23,6 @@ import numpy as np
 from flax import linen as nn
 
 from ...config import ModelConfig
-from ...constants import PAD
 from ...data.vectorize import RankBatch
 from ...ops.layers import MLP
 from ...ops.masking import NEG_INF
@@ -43,13 +42,20 @@ class DUET(nn.Module):
 
         # ---- local branch: exact-match interaction --------------------------
         match = (batch.query[:, None, :, None] == batch.docs[:, :, None, :])
-        match &= (batch.query[:, None, :, None] != PAD)
+        # mask by the MASKS, not by id == PAD: masked slots may legally
+        # hold any id (masks carry truth -- repo convention)
+        match &= (batch.query_mask[:, None, :, None]
+                  & batch.doc_mask[:, :, None, :])
         x = match.astype(dt)                                  # [B, N, Lq, Ld]
         x = x.reshape(B * N, Lq, Ld).transpose(0, 2, 1)       # [B*N, Ld, Lq]
         h = nn.Conv(cfg.nfilters, kernel_size=(3,), padding="SAME",
                     dtype=dt, name="local_conv")(x)
         h = jnp.tanh(h)
-        h = jnp.max(h, axis=-2)                               # [B*N, C]
+        # masked max: conv bias gives pad positions a nonzero tanh floor,
+        # so an unmasked max would score empty/short docs by pad length
+        dm = batch.doc_mask.reshape(B * N, Ld, 1)
+        h = jnp.max(jnp.where(dm, h, NEG_INF), axis=-2)       # [B*N, C]
+        h = jnp.where(dm.any(axis=-2), h, 0.0)   # all-pad doc -> zero feat
         local = MLP((cfg.nhid_ffnn, 1), activation=jnp.tanh,
                     final_activation=False, dropout=cfg.dropout, dtype=dt,
                     name="local_mlp")(h, deterministic)[..., 0]
@@ -59,6 +65,9 @@ class DUET(nn.Module):
         emb = make_embeddings(cfg, self.pretrained)
         q = emb(batch.query, deterministic)                   # [B, Lq, E]
         d = emb(batch.docs, deterministic)                    # [B, N, Ld, E]
+        # zero pad-position embeddings before the convs (see local branch)
+        q = q * batch.query_mask[..., None].astype(q.dtype)
+        d = d * batch.doc_mask[..., None].astype(d.dtype)
         qh = nn.Conv(cfg.nfilters, kernel_size=(3,), padding="SAME",
                      dtype=dt, name="dist_q_conv")(q)
         qh = jnp.where(batch.query_mask[..., None], jnp.tanh(qh), NEG_INF)

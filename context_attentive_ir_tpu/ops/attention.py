@@ -61,10 +61,14 @@ class GlobalAttention(nn.Module):
         align = masked_softmax(scores, memory_mask[:, None, :], axis=-1)
         context = jnp.einsum("bts,bsh->bth", align, m)
         concat = jnp.concatenate([context, q], axis=-1)
-        attn_h = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                          param_dtype=self.param_dtype,
+        # OpenNMT-lineage convention (the parity target): the output
+        # projection carries a bias ONLY for 'mlp', and tanh is applied
+        # ONLY for 'dot'/'general' (Bahdanau-style mlp output is linear)
+        attn_h = nn.Dense(self.dim, use_bias=self.attn_type == "mlp",
+                          dtype=self.dtype, param_dtype=self.param_dtype,
                           name="linear_out")(concat)
-        attn_h = jnp.tanh(attn_h)
+        if self.attn_type != "mlp":
+            attn_h = jnp.tanh(attn_h)
         if squeeze:
             return attn_h[:, 0], align[:, 0]
         return attn_h, align

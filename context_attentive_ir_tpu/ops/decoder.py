@@ -11,6 +11,14 @@ the whole target (training -- one trace, MXU-batched input projections) and
 (b) a single ``step`` inside greedy/beam decode loops (``decode/``) without
 any Python-level recurrence.  State is a plain pytree dict, which makes beam
 reshuffling a pure gather.
+
+Documented deviation: the reference's StackedLSTM applies dropout BETWEEN
+layers inside the step; here dropout is applied to the attentional
+outputs only, so multi-layer (``nlayers>=2``) decoder stacks regularize
+differently.  With the paper's (and this repo's) default of one decoder
+layer the two are identical -- per-step inter-layer dropout would force
+rng threading through every jitted decode scan for a config the paper
+never uses.
 """
 
 from __future__ import annotations

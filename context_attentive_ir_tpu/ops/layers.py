@@ -110,6 +110,11 @@ class Embeddings(nn.Module):
 
     def attend(self, h: jnp.ndarray) -> jnp.ndarray:
         """Tied-generator logits: ``h [..., E] @ table.T -> [..., V]``."""
+        if self.quantized:
+            # scale AFTER the matmul (logits_v = s_v * (h @ q_v)): avoids
+            # materializing the dequantized [V, E] table per decode step
+            logits = h @ self.table_q.astype(self.dtype).T
+            return logits * self.scale[:, 0].astype(self.dtype)
         return h @ self._table().T
 
 

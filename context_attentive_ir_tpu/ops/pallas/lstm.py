@@ -56,11 +56,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def lstm_supported(hidden: int, batch: int) -> bool:
-    """Whether the fused kernel handles this shape (else use lax.scan)."""
-    return hidden % 128 == 0 and batch >= 8
-
-
 def _lstm_kernel(xp_ref, mask_ref, whh_ref, out_ref, h_scr, c_scr, *,
                  h: int, tc: int, reverse: bool):
     """One (batch_tile, time_chunk) grid step covering ``tc`` timesteps.

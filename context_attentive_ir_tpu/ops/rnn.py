@@ -143,11 +143,13 @@ def gru_scan(
 class RNNLayer(nn.Module):
     """One (optionally bidirectional) LSTM/GRU layer.
 
-    ``use_pallas=True`` dispatches the *inference* forward pass (callers
-    signal it via ``deterministic=True``) to the fused Pallas sequence
-    kernel (``ops/pallas/lstm.py``) when the shape qualifies (hidden %
-    128 == 0) and the backend is TPU; training and unsupported shapes use
-    the ``lax.scan`` path.
+    ``use_pallas=True`` dispatches to the fused Pallas kernels
+    (``ops/pallas/{lstm,gru}.py``) when the shape qualifies (hidden %
+    128 == 0, TPU backend): TRAINING always takes the fused forward +
+    chunked-remat backward pair (the measured +27-29% full-step win);
+    inference consults the measured per-shape dispatch table
+    (``ops/dispatch.py``), falling back to the ~6k-row crossover for
+    unmeasured shapes.  Unsupported shapes use the ``lax.scan`` path.
     """
 
     features: int

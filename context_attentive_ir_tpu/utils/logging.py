@@ -26,8 +26,19 @@ def setup_logging(log_file: str | Path | None = None,
         sh.setFormatter(fmt)
         root.addHandler(sh)
     if log_file is not None:
-        Path(log_file).parent.mkdir(parents=True, exist_ok=True)
-        fh = logging.FileHandler(str(log_file))
+        log_file = Path(log_file)
+        log_file.parent.mkdir(parents=True, exist_ok=True)
+        # dedup by target path: repeat calls in one process (train run then
+        # only_test, test suites driving the CLI) must not stack handlers
+        # (duplicated lines + leakage into earlier runs' log files)
+        target = str(log_file.resolve())
+        for h in list(root.handlers):
+            if isinstance(h, logging.FileHandler):
+                if h.baseFilename == target:
+                    return root
+                root.removeHandler(h)
+                h.close()
+        fh = logging.FileHandler(target)
         fh.setFormatter(fmt)
         root.addHandler(fh)
     return root

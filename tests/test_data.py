@@ -193,3 +193,57 @@ def test_bucketed_iterator(sessions, word_dict):
     np.testing.assert_array_equal(batches[1].query, again[1].query)
     rest = list(it.epoch(0, start_batch=2))
     np.testing.assert_array_equal(rest[0].query, batches[2].query)
+
+
+def test_case_sensitive_embedding_loading(tmp_path):
+    """Embedding loaders honour the Dictionary's case convention (round-3
+    review: normalize() was hardcoded uncase=True, so cased vocabularies
+    missed every pretrained row)."""
+    from context_attentive_ir_tpu.data import (build_dictionary,
+                                               load_embedding_words)
+    from context_attentive_ir_tpu.data.loader import load_embeddings
+
+    path = tmp_path / "glove.txt"
+    path.write_text("Apple " + " ".join(["1.0"] * 4) + "\n"
+                    "apple " + " ".join(["2.0"] * 4) + "\n")
+    d = build_dictionary([["Apple", "zebra"]], uncase=False)
+    table, loaded = load_embeddings(path, d, 4)
+    assert loaded == 1
+    np.testing.assert_allclose(table[d["Apple"]], 1.0)  # not the 2.0 row
+
+    words = load_embedding_words(path, uncase=False)
+    assert "Apple" in words and "apple" in words
+    d2 = build_dictionary([["Apple", "zebra"]], uncase=False,
+                          restrict_vocab=words)
+    assert "Apple" in d2.tok2ind and "zebra" not in d2.tok2ind
+
+
+def test_load_data_max_examples_zero(tmp_path):
+    from context_attentive_ir_tpu.data import load_data
+
+    path = tmp_path / "f.jsonl"
+    write_fixture(path, n_sessions=3, n_candidates=4, seed=1)
+    assert load_data(path, 6, 8, 4, 3, max_examples=0) == []
+    assert len(load_data(path, 6, 8, 4, 3, max_examples=2)) == 2
+    assert len(load_data(path, 6, 8, 4, 3)) == 3
+
+
+def test_suggest_source_truncates_like_context(word_dict):
+    """Over-length turns are truncated per turn in BOTH the flat source
+    and the context tensor, so the source can never overflow Lsrc and
+    drop the newest turns (round-3 review)."""
+    from context_attentive_ir_tpu.data import ShapeConfig, build_suggest_batch
+    from context_attentive_ir_tpu.data.objects import Query
+
+    shapes = ShapeConfig(max_query_len=3, max_doc_len=4, max_session_len=2,
+                         num_candidates=2)
+    toks = list(word_dict.tok2ind)[4:12]
+    long_q = Query("q0", toks[:6], [])       # 6 tokens, Lq = 3
+    cur = Query("q1", toks[6:8], [])
+    ex = [([long_q, cur], cur, cur)]
+    b = build_suggest_batch(ex, word_dict, shapes)
+    # source = truncated turn 0 (3 ids) + turn 1 (2 ids) = 5 real ids
+    assert int(b.source_mask[0].sum()) == 5
+    # the newest turn's ids are present at the end of the source
+    ids = [word_dict[t] for t in toks[6:8]]
+    assert b.source[0, 3:5].tolist() == ids

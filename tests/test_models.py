@@ -333,3 +333,48 @@ def test_suggest_click_cap_guard(data):
     ok = batch.replace(clicks=np.zeros_like(batch.clicks))
     fn(params["params"], ok)
     assert fn.fallbacks == 1
+
+
+@pytest.mark.parametrize("model_type", RANKERS)
+def test_ranker_pad_content_invariance(model_type, data):
+    """Scores must not depend on token ids in MASKED doc/query positions
+    (round-3 review: DUET's local branch max-pooled over padded doc
+    positions; the property is worth pinning for the whole zoo)."""
+    sessions, word_dict = data
+    cfg = small_config(model_type, len(word_dict))
+    model = build_model(cfg)
+    batch = _batch_for(model_type, sessions, word_dict)
+    params = model.init({"params": jax.random.key(0)}, batch, True)
+    s0 = np.asarray(model.apply(params, batch, True))
+
+    rng = np.random.RandomState(0)
+    docs = batch.docs.copy()
+    scribble = rng.randint(4, len(word_dict), size=docs.shape)
+    docs = np.where(batch.doc_mask, docs, scribble).astype(docs.dtype)
+    query = batch.query.copy()
+    scribble_q = rng.randint(4, len(word_dict), size=query.shape)
+    query = np.where(batch.query_mask, query,
+                     scribble_q).astype(query.dtype)
+    s1 = np.asarray(model.apply(
+        params, batch.replace(docs=docs, query=query), True))
+    np.testing.assert_allclose(s0, s1, atol=1e-5, err_msg=model_type)
+
+
+def test_multitask_rank_head_dropout_active(data):
+    """config.dropout reaches the multitask rank MLP during training
+    (round-3 review: the heads hardcoded deterministic=True)."""
+    sessions, word_dict = data
+    cfg = small_config("cars", len(word_dict)).replace(dropout=0.5)
+    model = build_model(cfg)
+    batch = _batch_for("cars", sessions, word_dict)
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)}, batch, False)
+    o1 = np.asarray(model.apply(params, batch, False,
+                                rngs={"dropout": jax.random.key(2)})
+                    ["scores"])
+    o2 = np.asarray(model.apply(params, batch, False,
+                                rngs={"dropout": jax.random.key(3)})
+                    ["scores"])
+    det = np.asarray(model.apply(params, batch, True)["scores"])
+    assert np.abs(o1 - o2).max() > 1e-6       # stochastic in train mode
+    assert np.isfinite(det).all()
