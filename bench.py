@@ -77,7 +77,7 @@ def _random_session_batch(rng, b=B, s=S, n=N, lq=LQ, ld=LD, vocab=VOCAB):
 
 
 def _build_cars(use_pallas: bool, b=B, s=S, n=N, vocab=VOCAB,
-                rnn_type="lstm"):
+                rnn_type="lstm", init=True):
     import jax
 
     from context_attentive_ir_tpu.config import default_config
@@ -93,6 +93,8 @@ def _build_cars(use_pallas: bool, b=B, s=S, n=N, vocab=VOCAB,
         use_pallas_rnn=use_pallas,
         dropout=0.0, dropout_emb=0.0, dropout_rnn=0.0)
     model = build_model(cfg)
+    if not init:   # config/model only -- skip the on-chip init compile
+        return cfg, model, None, None
     batch = jax.device_put(_random_session_batch(np.random.RandomState(0),
                                                  b=b, s=s, n=n, vocab=vocab))
     params = model.init({"params": jax.random.key(0)}, batch, True)["params"]
@@ -211,7 +213,8 @@ def kernel_parity_checks() -> dict:
     #    (same params -- the pallas flags do not change the param tree)
     cfg_k, model_k, params, batch = _build_cars(True, b=16, s=3, n=10,
                                                 vocab=4096)
-    cfg_s, model_s, _, _ = _build_cars(False, b=16, s=3, n=10, vocab=4096)
+    cfg_s, model_s, _, _ = _build_cars(False, b=16, s=3, n=10, vocab=4096,
+                                       init=False)  # reuses params/batch
     rng_key = jax.random.key(1)
 
     def loss_and_gnorm(model, cfg):
@@ -334,7 +337,9 @@ def bench_torch_cpu() -> float:
     import torch
     import torch.nn as tnn
 
-    torch.set_num_threads(max(1, (torch.get_num_threads())))
+    # pin to ONE thread: the published baseline is defined single-core
+    # (PERF.md); regenerating on a multi-core host must not inflate it
+    torch.set_num_threads(1)
 
     class TorchCars(tnn.Module):
         def __init__(self):

@@ -61,6 +61,14 @@ int32_t fv_vocab_size(void* h) {
 
 // Whitespace-tokenize `text`, encode into out[0..max_len) with PAD fill and
 // write a 0/1 mask. Returns the number of (un-truncated) tokens written.
+// ASCII whitespace set matching Python str.split(): ' ' \t \n \r \v \f
+// (non-ASCII unicode whitespace is out of scope for this corpus format --
+// the Python fallback handles it; data/fast.py documents the contract).
+static inline bool fv_isspace(char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v'
+        || c == '\f';
+}
+
 int32_t fv_encode(void* h, const char* text, int32_t* out, uint8_t* mask,
                   int32_t max_len) {
     const Vocab* v = static_cast<Vocab*>(h);
@@ -68,10 +76,10 @@ int32_t fv_encode(void* h, const char* text, int32_t* out, uint8_t* mask,
     const char* p = text;
     std::string tok;
     while (*p && count < max_len) {
-        while (*p == ' ' || *p == '\t' || *p == '\n') ++p;
+        while (fv_isspace(*p)) ++p;
         if (!*p) break;
         const char* start = p;
-        while (*p && *p != ' ' && *p != '\t' && *p != '\n') ++p;
+        while (*p && !fv_isspace(*p)) ++p;
         tok.assign(start, static_cast<size_t>(p - start));
         if (v->uncase) ascii_lower(tok);
         auto it = v->map.find(tok);

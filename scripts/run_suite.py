@@ -111,15 +111,21 @@ def main():
     streams += [d.tokens for s in train for q in s.queries
                 for d in q.documents]
     word_dict = build_dictionary(streams)
-    table, _ = load_embeddings(glove, word_dict, DIMS["emsize"])
+    table, _ = load_embeddings(glove, word_dict, dims["emsize"])
 
     import json
     done_file = data / "results.jsonl"
+    # cache rows are valid only under the SAME protocol: a rerun with a
+    # different corpus/epochs/slate in the same data_dir must retrain,
+    # not republish stale metrics (round-3 review)
+    protocol = {"corpus": args.corpus, "epochs": args.epochs,
+                "num_candidates": dims["num_candidates"]}
     done = {}
     if done_file.exists():
         for line in done_file.read_text().splitlines():
             r = json.loads(line)
-            done[r["model"]] = r
+            if r.get("protocol") == protocol:
+                done[r["model"]] = r
     rows = []
     for model_type in args.models.split(","):
         if model_type in done:
@@ -182,7 +188,7 @@ def main():
         row = {k: v for k, v in row.items() if v is not None}
         rows.append(row)
         with open(done_file, "a") as f:
-            f.write(json.dumps(row) + "\n")
+            f.write(json.dumps({**row, "protocol": protocol}) + "\n")
         print(f"== {model_type} done: {row}", flush=True)
 
     # normalize columns for the table
@@ -194,9 +200,13 @@ def main():
           f"train/dev/test sessions at slate={dims['num_candidates']}, "
           "shared vocab +",
           f"fixture GloVe ({dims['emsize']}-d), bf16, {args.epochs} epochs",
-          "max (24 for multitask on ambiguous), beam 3 for suggestion",
-          "models. Ranking metrics for rankers/multitask; BLEU/ROUGE for",
-          "recommenders/multitask. Times include jit compiles.",
+          "max (multitask on the discriminative corpora: up to 64 epochs,",
+          "lr 5e-3, patience 32 -- the measured phase-transition budget).",
+          "Decode: beam 3 for recommenders; greedy for rankers and for",
+          "multitask on the discriminative corpora (near-deterministic",
+          "targets make beam ~= greedy there). Ranking metrics for",
+          "rankers/multitask; BLEU/ROUGE for recommenders/multitask.",
+          "Times include jit compiles.",
           "", "```", format_table(norm, "test results"), "```", ""]
     Path(args.out).write_text("\n".join(md))
     print(f"wrote {args.out}")

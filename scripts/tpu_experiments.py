@@ -362,9 +362,11 @@ def scan_vs_fused():
 
         ms = timed(scan_path, x, mask, w_ih, b, w_hh)
         report("lstm_scan", ms, rows=rows)
-        fn = functools.partial(_lstm_fused_impl, block_b=512, time_chunk=6)
+        # production tile (ops/pallas/lstm.py default after the round-3
+        # retune; bb=512 is the documented hoisting pathology)
+        fn = functools.partial(_lstm_fused_impl, block_b=128, time_chunk=6)
         ms = timed(fn, x, mask, w_ih, b, w_hh)
-        report("lstm_fused", ms, rows=rows, time_chunk=6, block_b=512)
+        report("lstm_fused", ms, rows=rows, time_chunk=6, block_b=128)
 
 
 def large_r():
@@ -759,8 +761,17 @@ def dispatch_table():
                             scan_ms=round(gscan_ms, 3)))
         report("dispatch_gru", gkern_ms / 1e3, rows=rows,
                scan_ms=round(gscan_ms, 3))
-    entries += [e for e in dispatch._load_table()
-                if e.get("kind") == "beam_topk"]  # preserve beam rows
+    # merge: preserve beam rows AND any lstm/gru support point not
+    # re-measured this run (a `dispatch_table 2000` re-measure must not
+    # discard the 4000/8000/16000 points production dispatch relies on)
+    fresh = {(e["kind"], e["mode"], e["t"], e["e"], e["h"], e["dtype"],
+              e["rows"]) for e in entries}
+    for e in dispatch._load_table():
+        if e.get("kind") == "beam_topk":
+            entries.append(e)
+        elif (e["kind"], e["mode"], e["t"], e["e"], e["h"], e["dtype"],
+              e["rows"]) not in fresh:
+            entries.append(e)
     dispatch.write_table(entries)
     print(json.dumps({"exp": "dispatch_table",
                       "written": str(dispatch.TABLE_PATH),

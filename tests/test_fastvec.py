@@ -24,7 +24,10 @@ def test_encode_batch_matches_python(vocab):
     fv = fast.FastVocab(vocab)
     assert fv.size == len(vocab)
     texts = ["jazz guitar", "MOUNTAIN trail boots hiking pasta",
-             "unknownword tomato", "", "jazz " * 20]
+             "unknownword tomato", "", "jazz " * 20,
+             # full ASCII whitespace set of str.split() (round-3 review:
+             # the native tokenizer only split on space/tab/newline)
+             "jazz\rguitar\vchord\flesson", "  \r\n pasta\ttomato \v "]
     ids, mask = fv.encode_batch(texts, max_len=8)
     for i, t in enumerate(texts):
         ref_ids, ref_mask = _pad_ids(vocab.encode(t.split()), 8)
