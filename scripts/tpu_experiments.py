@@ -1011,6 +1011,77 @@ def engine_host():
            requests_per_sec=round(len(sugg_reqs) / dt, 1))
 
 
+def train_parts():
+    """Decompose the CARS train step end-to-end (the training analogue of
+    PERF.md's serving structural-floor accounting).  Four jitted variants
+    at the bench shape, kernel config, within one run:
+
+      fwd_only    loss value alone (forward in train mode)
+      grads_only  value_and_grad + grad_norm, NO optimizer apply
+      full        the production step (grads + clip + Adam, donated state)
+      fix_emb     full step with ``fix_embeddings=True`` (stop_gradient
+                  through the table: no [V, E] scatter-add, no table Adam)
+
+    Deltas: grads_only-fwd_only = backward; full-grads_only = Adam apply;
+    full-fix_emb = embedding-gradient cost (scatter + table moments).
+    """
+    import bench as bench_mod
+    import optax
+
+    from context_attentive_ir_tpu.models import build_model
+    from context_attentive_ir_tpu.train.state import create_train_state
+    from context_attentive_ir_tpu.train.steps import (make_loss_fn,
+                                                      make_train_step)
+
+    cfg, model, params, batch = bench_mod._build_cars(True)
+    rng = jax.random.key(1)
+
+    loss_fn = make_loss_fn(model, cfg)
+
+    @jax.jit
+    def fwd_only(params, batch, rng):
+        return loss_fn(params, batch, rng)[0]
+
+    @jax.jit
+    def grads_only(params, batch, rng):
+        (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
+        return m["loss"], optax.global_norm(grads)
+
+    ms = timed(fwd_only, params, batch, rng, warmup=3, iters=10)
+    report("train_parts", ms, variant="fwd_only")
+    parts = {"fwd_only": ms}
+    ms = timed(grads_only, params, batch, rng, warmup=3, iters=10)
+    report("train_parts", ms, variant="grads_only")
+    parts["grads_only"] = ms
+
+    def run_full(cfg, model, batch, variant):
+        state = create_train_state(model, cfg, batch, jax.random.key(0))
+        step = make_train_step(model, cfg)
+        s = state
+        for _ in range(3):
+            s, m = step(s, batch, rng)
+        jax.device_get(m["loss"])
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            s, m = step(s, batch, rng)
+        jax.device_get(m["loss"])
+        ms = (time.perf_counter() - t0) / iters
+        report("train_parts", ms, variant=variant,
+               docs_per_sec=round(64 * 5 * 50 / ms, 1))
+        return ms
+
+    parts["full"] = run_full(cfg, model, batch, "full")
+    cfg_f = cfg.replace(fix_embeddings=True)
+    parts["fix_emb"] = run_full(cfg_f, build_model(cfg_f), batch, "fix_emb")
+    print(json.dumps({"exp": "train_parts", "deltas_ms": {
+        "backward": round((parts["grads_only"] - parts["fwd_only"]) * 1e3, 2),
+        "adam_apply": round((parts["full"] - parts["grads_only"]) * 1e3, 2),
+        "emb_grad": round((parts["full"] - parts["fix_emb"]) * 1e3, 2),
+    }}), flush=True)
+
+
 def gru_train():
     """GRU fwd+bwd: chunked-remat kernel pair vs scan autodiff, 16k rows."""
     from context_attentive_ir_tpu.ops.pallas.gru import (
@@ -1345,6 +1416,7 @@ if __name__ == "__main__":
      "dispatch_table_beam": dispatch_table_beam,
      "indexed": indexed,
      "decode_step_only": decode_step_only, "gru_train": gru_train,
+     "train_parts": train_parts,
      "engine_host": engine_host, "scan_unroll": scan_unroll,
      "large_r": large_r, "large_r2": large_r2, "hoist_check": hoist_check,
      "scale_bucketing": scale_bucketing,
