@@ -18,10 +18,12 @@ skip (debug only).
 ``vs_baseline``: the reference implementation is PyTorch (SURVEY.md SS1) and
 publishes no throughput numbers (BASELINE.md); no GPU exists on this
 machine, so the stand-in baseline is an equivalent PyTorch CARS scorer run
-on this host's single-core CPU (measured once, cached in
-BENCH_BASELINE.json).  A V100-class GPU would plausibly sit ~100-300x above
-that CPU number, which would put the honest margin nearer 2-5x -- see
-BENCH_DETAILS.json and PERF.md.
+on this host's single-core CPU, RE-MEASURED on every run (VERDICT r3 weak
+#1: both sides of the ratio must come from the same toolchain state;
+the latest measurement is recorded in BENCH_BASELINE.json for the
+record, never read back).  A V100-class GPU would plausibly sit
+~100-300x above that CPU number, which would put the honest margin
+nearer 2-5x -- see BENCH_DETAILS.json and PERF.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -447,16 +449,19 @@ def _backend_up_or_die(timeout_s: float) -> None:
 
 def main():
     _backend_up_or_die(float(os.environ.get("BENCH_BACKEND_TIMEOUT", 420)))
-    baseline_file = ROOT / "BENCH_BASELINE.json"
-    if baseline_file.exists():
-        baseline = json.loads(baseline_file.read_text())
-    else:
-        torch_dps = bench_torch_cpu()
-        baseline = {"torch_cpu_docs_per_sec": torch_dps,
-                    "note": "PyTorch CARS-equivalent scorer on host CPU "
-                            "(reference stand-in; reference publishes no "
-                            "throughput numbers and no GPU is attached)"}
-        baseline_file.write_text(json.dumps(baseline, indent=2))
+    # the torch stand-in is RE-MEASURED every run (seconds of CPU): the
+    # headline ratio must divide two numbers from the same toolchain
+    # state, never a fresh TPU pass by a stale cached CPU pass (VERDICT
+    # r3 weak #1).  BENCH_BASELINE.json records the latest measurement
+    # for the ledger but is never read back.
+    torch_dps = bench_torch_cpu()
+    baseline = {"torch_cpu_docs_per_sec": torch_dps,
+                "note": "PyTorch CARS-equivalent scorer on host CPU "
+                        "(reference stand-in; reference publishes no "
+                        "throughput numbers and no GPU is attached); "
+                        "re-measured on every bench run"}
+    (ROOT / "BENCH_BASELINE.json").write_text(json.dumps(baseline,
+                                                         indent=2))
 
     parity = None
     if os.environ.get("BENCH_PARITY", "1") != "0":

@@ -410,3 +410,160 @@ def write_suggestion_fixture(path: str | Path, **kwargs) -> Path:
         for sess in generate_suggestion_sessions(**kwargs):
             f.write(json.dumps(sess) + "\n")
     return path
+
+
+# ---------------------------------------------------------------------------
+# Click-keyed suggestion corpus
+# ---------------------------------------------------------------------------
+#
+# On the long-chain corpus above, every history-READING generator saturates
+# at BLEU-4 = 1.0 because the chain is revealed by turn 0's QUERY prefix --
+# even a doc-blind seq2seq-with-history reads it, so CARS's click-flow
+# contributes nothing measurable to its generative head (VERDICT r3 missing
+# #2).  This corpus moves the chain key into turn 0's CLICKED DOCUMENT:
+#
+#   middle  m0..m7          -- shared by both chains (8 words)
+#   chain_x = m0..m7 x0..x4    chain_y = m0..m7 y0..y4     (13 words)
+#
+# Queries are the same 5-token/step-3 windows:
+#   w0 = m0 m1 m2 m3 m4    w1 = m3 m4 m5 m6 m7    w2 = m6 m7 s0 s1 s2
+#
+# w0 and w1 are IDENTICAL across chains (pure middle), so no query -- and
+# hence no query history -- reveals the chain before the crossing.  The
+# session's LAST query is the crossing window w2, used only as a target.
+# Turn 0's clicked doc carries 2 own-chain suffix words (its confusers
+# carry 2 other-chain words: identical query overlap, identical length);
+# every later turn follows the click-mode sense construction (clicked =
+# query + own-sense, confusers = query + other-sense -- ranking stays
+# solvable only via turn-0's click, as in the ambiguous corpus's click
+# mode).  Consequences, enforced by tests/test_discriminative.py:
+#
+# - a doc-blind generator (seq2seq / HRED-QS / ACG over queries) is
+#   structurally capped: both 4-grams of the crossing target are a coin
+#   flip (optimal blind corpus BLEU-4 ~= 0.72 at the default T in {2,3}
+#   mix; exact oracle computed in-test);
+# - a click-reading generator (CARS: clicked-doc repr -> click-flow ->
+#   context attention -> decoder init) can reach ~1.0.  M-NSRF cannot:
+#   its decoder conditions on the query-flow session state only
+#   (models/multitask/mnsrf.py), so it sits at the blind ceiling --
+#   making CARS-beats-M-NSRF falsifiable on suggestion, the paper's
+#   ordering (SURVEY.md SS2.6, BASELINE.md).
+#
+# Session shapes: T=3 walks (w0, w1, w2) -- the hard target w2 sits at
+# turn 1 and needs turn 0's click through the session RECURRENCE/attention
+# memory; T=2 walks (w1, w2) -- the hard target sits at turn 0 and needs
+# the INCLUSIVE click state of the current turn.  Both pathways of the
+# suggestion head's click plumbing are exercised.
+
+N_MIDDLE_CK = 8
+N_SUFFIX_CK = 5
+
+
+def _group_vocab_click(k: int) -> dict:
+    mid = [f"g{k}m{i}" for i in range(N_MIDDLE_CK)]
+    return {
+        "middle": mid,
+        "chain_x": mid + [f"g{k}x{i}" for i in range(N_SUFFIX_CK)],
+        "chain_y": mid + [f"g{k}y{i}" for i in range(N_SUFFIX_CK)],
+        "sense": {
+            "a": [f"g{k}sa{i}" for i in range(N_SENSE_WORDS)],
+            "b": [f"g{k}sb{i}" for i in range(N_SENSE_WORDS)],
+        },
+    }
+
+
+def click_suggestion_vocab(n_groups: int = N_GROUPS) -> list[str]:
+    """All words of the click-keyed corpus (for GloVe fixtures)."""
+    out: list[str] = []
+    for k in range(n_groups):
+        g = _group_vocab_click(k)
+        for w in g["chain_x"] + g["chain_y"]:
+            if w not in out:
+                out.append(w)
+        out.extend(g["sense"]["a"])
+        out.extend(g["sense"]["b"])
+    return out
+
+
+def generate_click_keyed_suggestion_sessions(
+    n_sessions: int = 64,
+    n_candidates: int = 10,
+    n_groups: int = N_GROUPS,
+    turn_counts: tuple[int, ...] = (2, 3),
+    seed: int = 0,
+) -> list[dict]:
+    """Sessions whose NEXT-QUERY is decidable only from turn 0's CLICK.
+
+    Same enumeration discipline as the other discriminative corpora:
+    (group, sense, chain, session length) round-robin -> exactly balanced,
+    no blind prior.
+    """
+    rng = np.random.RandomState(seed)
+    groups = [_group_vocab_click(k) for k in range(n_groups)]
+    combos = [(k, s, c, t)
+              for k in range(n_groups)
+              for s in ("a", "b")
+              for c in ("chain_x", "chain_y")
+              for t in turn_counts]
+    sessions = []
+    for i in range(n_sessions):
+        k, sense, chain_name, n_turns = combos[i % len(combos)]
+        g = groups[k]
+        windows = chain_windows(g[chain_name])       # [w0, w1, w2]
+        walk = windows[-n_turns:]                    # end at the crossing
+        own = g["sense"][sense]
+        other = g["sense"]["b" if sense == "a" else "a"]
+        own_chain = g[chain_name][N_MIDDLE_CK:]
+        other_name = "chain_y" if chain_name == "chain_x" else "chain_x"
+        other_chain = g[other_name][N_MIDDLE_CK:]
+        queries = []
+        for t, q_tokens in enumerate(walk):
+            q_tokens = list(q_tokens)
+            own_rest = [w for w in own if w not in q_tokens]
+            clicked = q_tokens + list(
+                rng.choice(own_rest, size=2, replace=False))
+            confuser_extra = [list(rng.choice(other, size=2, replace=False))
+                              for _ in range(N_CONFUSERS)]
+            if t == 0:
+                # the chain key lives ONLY here: clicked doc carries
+                # own-chain suffix words, confusers other-chain words
+                # (identical query overlap and length either way)
+                clicked = clicked + list(
+                    rng.choice(own_chain, size=2, replace=False))
+                confuser_extra = [ce + list(
+                    rng.choice(other_chain, size=2, replace=False))
+                    for ce in confuser_extra]
+            cands = [(clicked, 1)]
+            for ce in confuser_extra:
+                cands.append((list(q_tokens) + ce, 0))
+            for _ in range(n_candidates - 1 - N_CONFUSERS):
+                ok = int(rng.randint(n_groups - 1))
+                ok = ok if ok < k else ok + 1
+                og = groups[ok]
+                pool = (og["chain_x"] + og["chain_y"][-N_SUFFIX_CK:]
+                        + og["sense"]["a"] + og["sense"]["b"])
+                d = list(rng.choice(pool, size=4, replace=False))
+                cands.append((d, 0))
+            order = rng.permutation(len(cands))
+            queries.append({
+                "id": f"q{i}_{t}",
+                "text": " ".join(q_tokens),
+                "candidates": [
+                    {"id": f"d{i}_{t}_{j}",
+                     "title": " ".join(cands[j][0]),
+                     "label": cands[j][1]}
+                    for j in order
+                ],
+            })
+        sessions.append({"session_id": f"cs{i}", "query": queries})
+    return sessions
+
+
+def write_click_keyed_suggestion_fixture(path: str | Path,
+                                         **kwargs) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for sess in generate_click_keyed_suggestion_sessions(**kwargs):
+            f.write(json.dumps(sess) + "\n")
+    return path

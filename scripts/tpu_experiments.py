@@ -88,6 +88,15 @@ def timed(fn, *args, warmup=2, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def timed_min2(fn, *args, warmup=2, iters=10):
+    """min of two ``timed`` passes: single-shot tunnel timings jitter
+    +-15% between passes (CLAUDE.md round-3 lesson), enough to corrupt
+    small DIFFERENCES of separately-timed variants.  The second pass
+    skips warmup (the first pass already fenced the compiled program)."""
+    return min(timed(fn, *args, warmup=warmup, iters=iters),
+               timed(fn, *args, warmup=0, iters=iters))
+
+
 def report(name, ms, **kw):
     print(json.dumps({"exp": name, "ms": round(ms * 1e3, 3), **kw}),
           flush=True)
@@ -1017,13 +1026,22 @@ def train_parts():
     at the bench shape, kernel config, within one run:
 
       fwd_only    loss value alone (forward in train mode)
-      grads_only  value_and_grad + grad_norm, NO optimizer apply
+      grads_only  value_and_grad + grad_norm, NO clip/optimizer apply
       full        the production step (grads + clip + Adam, donated state)
       fix_emb     full step with ``fix_embeddings=True`` (stop_gradient
-                  through the table: no [V, E] scatter-add, no table Adam)
+                  through the table lookup: no [V, E] scatter-add in the
+                  backward.  NOTE: Adam still carries full [V, E] moment
+                  + update passes over the table in BOTH variants --
+                  Embeddings.fixed only stops the gradient and
+                  make_optimizer applies no param mask -- so the fix_emb
+                  delta measures the scatter-add backward ONLY, not
+                  table-optimizer cost; ADVICE r3)
 
-    Deltas: grads_only-fwd_only = backward; full-grads_only = Adam apply;
-    full-fix_emb = embedding-gradient cost (scatter + table moments).
+    Deltas: grads_only-fwd_only = backward; full-grads_only = clip+Adam
+    apply (grads_only omits clip_by_global_norm, so the global-norm clip
+    transform is part of this delta; ADVICE r3); full-fix_emb =
+    embedding scatter-add backward.  Each variant times min-of-2 passes
+    (tunnel jitter would otherwise corrupt the small differences).
     """
     import bench as bench_mod
     import optax
@@ -1048,28 +1066,37 @@ def train_parts():
             params, batch, rng)
         return m["loss"], optax.global_norm(grads)
 
-    ms = timed(fwd_only, params, batch, rng, warmup=3, iters=10)
+    ms = timed_min2(fwd_only, params, batch, rng, warmup=3, iters=10)
     report("train_parts", ms, variant="fwd_only")
     parts = {"fwd_only": ms}
-    ms = timed(grads_only, params, batch, rng, warmup=3, iters=10)
+    ms = timed_min2(grads_only, params, batch, rng, warmup=3, iters=10)
     report("train_parts", ms, variant="grads_only")
     parts["grads_only"] = ms
+
+    rows = bench_mod.B * bench_mod.S * bench_mod.N
 
     def run_full(cfg, model, batch, variant):
         state = create_train_state(model, cfg, batch, jax.random.key(0))
         step = make_train_step(model, cfg)
-        s = state
-        for _ in range(3):
-            s, m = step(s, batch, rng)
-        jax.device_get(m["loss"])
-        t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
-            s, m = step(s, batch, rng)
-        jax.device_get(m["loss"])
-        ms = (time.perf_counter() - t0) / iters
+
+        def one_pass(s, warmup, iters=10):
+            m = None
+            for _ in range(warmup):
+                s, m = step(s, batch, rng)
+            if m is not None:
+                jax.device_get(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                s, m = step(s, batch, rng)
+            jax.device_get(m["loss"])
+            return s, (time.perf_counter() - t0) / iters
+
+        # min-of-2 passes (state is donated, so chain it through)
+        s, ms1 = one_pass(state, warmup=3)
+        _, ms2 = one_pass(s, warmup=0)
+        ms = min(ms1, ms2)
         report("train_parts", ms, variant=variant,
-               docs_per_sec=round(64 * 5 * 50 / ms, 1))
+               docs_per_sec=round(rows / ms, 1))
         return ms
 
     parts["full"] = run_full(cfg, model, batch, "full")

@@ -452,6 +452,168 @@ def test_suggestion_oracle_separation():
     assert ctx - blind > 0.12, (blind, ctx)
 
 
+# ---------------------------------------------------------------------------
+# click-keyed suggestion corpus: the chain is revealed ONLY by turn 0's
+# clicked document (VERDICT r3 missing #2) -- doc-blind generators are
+# structurally capped; CARS is the designed passing model.
+# ---------------------------------------------------------------------------
+
+
+def _click_sessions(**kw):
+    from context_attentive_ir_tpu.data.synthetic import (
+        generate_click_keyed_suggestion_sessions,
+    )
+    return generate_click_keyed_suggestion_sessions(**kw)
+
+
+def _is_middle(w: str) -> bool:
+    return "m" in w and "sa" not in w and "sb" not in w
+
+
+def test_click_corpus_queries_hide_the_chain():
+    """Every query except the final (target-only) crossing window consists
+    of shared-middle words alone -- no query, and hence no query HISTORY,
+    reveals the chain or the sense."""
+    for sess in _click_sessions(n_sessions=96, seed=1):
+        qs = [q["text"].split() for q in sess["query"]]
+        for q in qs[:-1]:
+            assert all(_is_middle(w) for w in q), q
+        # the final query is the crossing: exactly 3 chain-suffix words
+        assert sum(0 if _is_middle(w) else 1 for w in qs[-1]) == 3, qs[-1]
+
+
+def test_click_corpus_turn0_click_carries_the_chain():
+    """Turn 0's clicked doc carries own-chain suffix words; its confusers
+    carry the OTHER chain's (identical query overlap + length), so the
+    chain is decidable from the click and only from the click."""
+    for sess in _click_sessions(n_sessions=48, seed=3):
+        q0 = sess["query"][0]
+        qt = set(q0["text"].split())
+        chain_last = sess["query"][-1]["text"].split()[-1]  # e.g. g3x2
+        axis = chain_last.rstrip("0123456789")              # g3x / g3y
+        other = axis[:-1] + ("y" if axis.endswith("x") else "x")
+        clicked = [c for c in q0["candidates"] if c["label"] == 1]
+        assert len(clicked) == 1
+        ct = clicked[0]["title"].split()
+        assert sum(w.startswith(axis) and w[len(axis):].isdigit()
+                   for w in ct) == 2, ct
+        assert not any(w.startswith(other) and w[len(other):].isdigit()
+                       for w in ct), ct
+        ov_c = len(qt & set(ct))
+        confusers = [c for c in q0["candidates"] if c["label"] == 0
+                     and len(qt & set(c["title"].split())) == ov_c]
+        assert len(confusers) >= N_CONFUSERS
+        for c in confusers[:N_CONFUSERS]:
+            toks = c["title"].split()
+            assert len(toks) == len(ct)
+        # later turns add NO chain words beyond the turn's own query
+        # tokens (the final query IS the crossing, so its docs echo its
+        # chain tokens -- visible to everyone and causally useless): the
+        # chain KEY lives at turn 0's click only
+        for q in sess["query"][1:]:
+            q_toks = set(q["text"].split())
+            for c in q["candidates"]:
+                toks = set(c["title"].split()) - q_toks
+                same_group = [w for w in toks
+                              if w.startswith(axis[:-1])
+                              and not _is_middle(w) and "s" not in w]
+                assert not same_group, (q["text"], sorted(toks))
+
+
+def test_click_corpus_chain_balance():
+    """Both chains appear equally often per (group, sense, length)."""
+    from collections import Counter
+
+    counts = Counter()
+    for sess in _click_sessions(n_sessions=96, seed=0):
+        last = sess["query"][-1]["text"].split()[-1]
+        axis = last.rstrip("0123456789")            # g{k}x or g{k}y
+        counts[(axis[:-1], axis[-1], len(sess["query"]))] += 1
+    by_key: dict[tuple, dict[str, int]] = {}
+    for (g, c, t), n in counts.items():
+        by_key.setdefault((g, t), {})[c] = n
+    for k, d in by_key.items():
+        assert d.get("x", 0) == d.get("y", 0), (k, d)
+
+
+def _click_suggestion_oracles(sessions) -> tuple[float, float]:
+    """Corpus BLEU-4 of (a) the OPTIMAL doc-blind generator (knows the
+    chain tables, fixed tie-break at the crossing) and (b) a click-aware
+    oracle that reads turn 0's clicked doc."""
+    import re
+
+    from context_attentive_ir_tpu.data.synthetic import (
+        _group_vocab_click,
+        chain_windows,
+    )
+    from context_attentive_ir_tpu.eval import corpus_bleu
+
+    tables: dict[int, dict[str, list[list[str]]]] = {}
+
+    def windows_for(k):
+        if k not in tables:
+            g = _group_vocab_click(k)
+            tables[k] = {c: chain_windows(g[c])
+                         for c in ("chain_x", "chain_y")}
+        return tables[k]
+
+    blind_hyps, ctx_hyps, refs = [], [], []
+    for sess in sessions:
+        q0 = sess["query"][0]["text"].split()
+        k = int(re.match(r"g(\d+)m", q0[0]).group(1))
+        clicked0 = next(c for c in sess["query"][0]["candidates"]
+                        if c["label"] == 1)
+        true_chain = ("chain_x" if any(
+            re.match(rf"g{k}x\d+$", w)
+            for w in clicked0["title"].split()) else "chain_y")
+        for cur_q, nxt_q in zip(sess["query"], sess["query"][1:]):
+            cur = cur_q["text"].split()
+            ref = nxt_q["text"].split()
+            preds = {}
+            for cname, ws in windows_for(k).items():
+                for i, w in enumerate(ws[:-1]):
+                    if w == cur:
+                        preds[cname] = ws[i + 1]
+            assert preds, (cur, k)
+            blind_hyps.append(preds.get("chain_x") or preds["chain_y"])
+            ctx_hyps.append(preds[true_chain])
+            refs.append([ref])
+    blind = corpus_bleu(blind_hyps, refs, max_n=4)[3]
+    ctx = corpus_bleu(ctx_hyps, refs, max_n=4)[3]
+    return blind, ctx
+
+
+def test_click_suggestion_oracle_separation():
+    """Even the OPTIMAL doc-blind generator -- including one that reads
+    the full QUERY history -- is capped well below the click-aware oracle
+    on corpus BLEU-4: queries are chain-symmetric until the crossing, so
+    turn 0's click is the only source of the chain bit."""
+    sessions = _click_sessions(n_sessions=192, seed=7)
+    blind, ctx = _click_suggestion_oracles(sessions)
+    assert ctx > 0.99, ctx
+    assert blind < 0.80, blind
+    assert ctx - blind > 0.2, (blind, ctx)
+
+
+def test_click_corpus_ranking_needs_the_click():
+    """The ranking construction: on every turn the clicked doc and its
+    confusers overlap the query identically (sense + chain words never
+    appear in non-final queries), so ranking is solvable only via
+    turn-0's click -- the corpus doubles as the click-keyed RANKING gate
+    for serving (VERDICT r3 missing #1)."""
+    for sess in _click_sessions(n_sessions=24, seed=5):
+        for t, q in enumerate(sess["query"]):
+            qt = set(q["text"].split())
+            clicked = [c for c in q["candidates"] if c["label"] == 1]
+            assert len(clicked) == 1
+            ov_c = len(qt & set(clicked[0]["title"].split()))
+            confusers = sorted(
+                (len(qt & set(c["title"].split()))
+                 for c in q["candidates"] if c["label"] == 0),
+                reverse=True)[:N_CONFUSERS]
+            assert ov_c == max(confusers) == min(confusers), (t, q["text"])
+
+
 def test_history_aware_suggester_beats_ablated_floor(tmp_path):
     """THE suggestion capability gate (VERDICT r2 next-round #1): on the
     long-chain corpus a history-reading generator (HRED-QS) must beat the

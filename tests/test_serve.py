@@ -310,6 +310,67 @@ def _suggest_session_batch(eng, histories):
                                batch_size=eng._bucket(len(sessions)))
 
 
+def test_rank_with_clicked_docs(trained_cars):
+    """RANKING history entries may carry clicked docs (VERDICT r3 missing
+    #1, mirroring what suggest already accepts): they reach CARS's
+    click-flow (scores move), and the indexed path with clicked doc IDS
+    reproduces the full-re-encode path with clicked doc TEXTS."""
+    path, sessions, _ = trained_cars
+    eng = Engine.from_checkpoint(path, beam_size=1)
+    qs = sessions[0].queries
+    cur = " ".join(qs[-1].tokens)
+    docs = [" ".join(d.tokens) for d in qs[-1].documents]
+    clicked = [" ".join(d.tokens) for d in qs[0].documents if d.label == 1]
+    assert clicked, "fixture session has no clicked docs"
+    h_plain = [" ".join(x.tokens) for x in qs[:-1]]
+    h_click = [(h_plain[0], clicked)] + h_plain[1:]
+
+    base = np.asarray(eng.rank(cur, docs, h_plain))
+    with_clicks = np.asarray(eng.rank(cur, docs, h_click))
+    assert np.isfinite(with_clicks).all()
+    assert np.max(np.abs(with_clicks - base)) > 1e-7, (
+        "clicked history docs do not reach the score path")
+
+    # exactness vs the model applied directly to the session the engine
+    # should have built (clicked docs = label-1 candidates on their turn)
+    from context_attentive_ir_tpu.data import build_session_batch
+
+    sess = eng._to_sessions(h_click, cur, docs)
+    assert sess.queries[0].documents and all(
+        d.label == 1 for d in sess.queries[0].documents)
+    sb = build_session_batch([sess], eng.word_dict, eng.shapes,
+                             batch_size=eng._bucket(1))
+    direct = np.asarray(jax.device_get(eng.model.apply(
+        {"params": eng.params}, sb, method=eng.model.score)))
+    t_last = len(sess.queries) - 1
+    np.testing.assert_allclose(with_clicks, direct[0, t_last, : len(docs)],
+                               atol=1e-5)
+
+    # indexed path: clicked doc ids resolve against the same index
+    corpus = docs + clicked
+    index = eng.index_documents(corpus)
+    ids = list(range(len(docs)))
+    cids = list(range(len(docs), len(corpus)))
+    h_click_ids = [(h_plain[0], cids)] + h_plain[1:]
+    cached = np.asarray(eng.rank_indexed(cur, ids, index, h_click_ids))
+    np.testing.assert_allclose(cached, with_clicks, atol=2e-3, rtol=1e-3)
+
+    # mixed batch: click-history and plain requests share one program
+    out = eng.rank_indexed_batch([
+        (cur, ids, h_click_ids),
+        (cur, ids, h_plain),
+    ], index)
+    np.testing.assert_allclose(out[0], cached, atol=2e-3, rtol=1e-3)
+    plain_cached = eng.rank_indexed(cur, ids, index, h_plain)
+    np.testing.assert_allclose(out[1], plain_cached, atol=2e-3, rtol=1e-3)
+
+    # out-of-range clicked ids raise, like slate ids
+    from context_attentive_ir_tpu.serve import ServeError
+
+    with pytest.raises(ServeError):
+        eng.rank_indexed(cur, ids, index, [(h_plain[0], [len(corpus)])])
+
+
 def test_suggest_batch_recommender(tmp_path):
     """suggest_batch for the recommender family (flat-source seq2seq)."""
     from context_attentive_ir_tpu.data import build_dictionary, generate_sessions
