@@ -281,16 +281,25 @@ def bench_rank(model, params, batch) -> float:
     return (B * S * N) / dt
 
 
-def bench_suggest(model, params, batch) -> float:
+def bench_suggest(model, params, batch, fused: bool | None = None) -> float:
     """Beam-5 next-query suggestion throughput (queries/sec/chip): every
     session turn decodes a suggestion, mirroring Engine.suggest's compiled
-    path (serve.py)."""
+    path (serve.py).  ``fused=None`` resolves the generator formulation
+    (plain logits step vs the Pallas fused generator+top-k kernel) via
+    the measured dispatch table, like the RNN kernels."""
     import jax
     import jax.numpy as jnp
 
-    from context_attentive_ir_tpu.decode import beam_search
+    from context_attentive_ir_tpu.decode import (
+        beam_search,
+        make_fused_beam_step,
+    )
+    from context_attentive_ir_tpu.ops.dispatch import prefer_fused_generator
 
     max_len = LQ + 1
+    if fused is None:
+        fused = prefer_fused_generator(B * S * BEAM, VOCAB, EMSIZE,
+                                       BEAM + 1)
 
     @jax.jit
     def suggest(params, batch):
@@ -300,8 +309,13 @@ def bench_suggest(model, params, batch) -> float:
         rows = memory.shape[0]
         rep = lambda x: jnp.repeat(x, BEAM, axis=0)
         mem_k, mask_k = rep(memory), rep(memory_mask)
-        step = lambda st, toks: model.apply(
-            var, st, toks, mem_k, mask_k, method=model.decode_step)
+        step = None
+        if fused:
+            step = make_fused_beam_step(model, var, params, mem_k, mask_k,
+                                        kc=BEAM + 1)
+        if step is None:
+            step = lambda st, toks: model.apply(
+                var, st, toks, mem_k, mask_k, method=model.decode_step)
         return beam_search(step, state, rows, max_len, BEAM)
 
     dt = _timed_loop(suggest, params, batch, warmup=2, iters=10)

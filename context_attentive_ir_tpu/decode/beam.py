@@ -125,6 +125,15 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     penalized at ranking time (reference penalties.py parity).
     ``cov_mask [B, L]`` marks real source positions for the coverage term.
     ``min_length`` forbids EOS before that many real tokens.
+
+    FUSED-GENERATOR mode: ``step_fn`` may instead return ``(state,
+    (vals [B*K, Kc], idx [B*K, Kc], lse [B*K]))`` -- the per-row top-Kc
+    RAW scores, their vocab indices, and the row logsumexp, typically
+    from ``ops.pallas.beamgen.generator_topk_lse`` so the ``[B*K, V]``
+    logits never exist in HBM (VERDICT r3 next-round #3).  Requires
+    ``Kc >= K + 1`` (same exactness argument as the per-beam top-(K+1)
+    below) and is detected from the probe's structure; coverage
+    penalties need full-attn steps and stay on the logits mode.
     """
     B, K = batch_size, beam_size
     state = _tile_beam(init_state, K)
@@ -132,7 +141,13 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     # probe the step signature once at trace time (XLA dead-code-eliminates
     # the unused probe computation)
     probe = step_fn(state, jnp.full((B * K,), BOS, jnp.int32))
-    has_attn = len(probe) == 3
+    topk_mode = isinstance(probe[1], (tuple, list))
+    has_attn = (not topk_mode) and len(probe) == 3
+    if topk_mode and probe[1][0].shape[-1] < K + 1:
+        raise ValueError(
+            f"fused step must provide at least K+1={K + 1} entries, got "
+            f"{probe[1][0].shape[-1]} (exactness needs one spare slot for "
+            "a blocked EOS, like the per-beam top-(K+1))")
 
     tokens = jnp.full((B, K), BOS, jnp.int32)
     # only beam 0 is live initially so the first top-k doesn't pick K copies
@@ -144,21 +159,31 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     def body(carry, t):
         state, tokens, logps, finished, lengths, seqs, cov = carry
         out = step_fn(state, tokens.reshape(B * K))
-        state, scores = out[0], out[1]
-        V = scores.shape[-1]
-        # Per-beam top-(K+1) FIRST, then all beam logic on [B, K, K+1]
-        # arrays: the flat [B, K*V] top-k and the full-vocab masking
-        # passes were ~85% of measured beam step time on TPU (PERF.md
-        # round-2 ledger).  Exact: any flat-top-K winner is within its
-        # beam's top-(K+1) even with the (single) EOS token blocked, and
-        # normalization is a rank-preserving shift applied afterwards via
-        # logsumexp -- so step functions may return RAW logits (already-
-        # normalized log-probs also work; their logsumexp is ~0).
-        Kc = min(K + 1, V)
-        scores32 = scores.astype(jnp.float32)
-        lse = jax.scipy.special.logsumexp(scores32, axis=-1,
-                                          keepdims=True)      # [B*K, 1]
-        t1, i1 = _topk_rows(scores32, Kc, topk_method)        # [B*K, Kc]
+        state = out[0]
+        if topk_mode:
+            # fused-generator step: top-Kc raw scores + logsumexp arrive
+            # precomputed (the [B*K, V] logits never materialized)
+            t1, i1, lse = out[1]
+            Kc = t1.shape[-1]
+            t1 = t1.astype(jnp.float32)
+            lse = lse.astype(jnp.float32)[:, None]
+        else:
+            scores = out[1]
+            V = scores.shape[-1]
+            # Per-beam top-(K+1) FIRST, then all beam logic on [B, K, K+1]
+            # arrays: the flat [B, K*V] top-k and the full-vocab masking
+            # passes were ~85% of measured beam step time on TPU (PERF.md
+            # round-2 ledger).  Exact: any flat-top-K winner is within its
+            # beam's top-(K+1) even with the (single) EOS token blocked,
+            # and normalization is a rank-preserving shift applied
+            # afterwards via logsumexp -- so step functions may return RAW
+            # logits (already-normalized log-probs also work; their
+            # logsumexp is ~0).
+            Kc = min(K + 1, V)
+            scores32 = scores.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(scores32, axis=-1,
+                                              keepdims=True)  # [B*K, 1]
+            t1, i1 = _topk_rows(scores32, Kc, topk_method)    # [B*K, Kc]
         logp_top = (t1 - lse).reshape(B, K, Kc)
         i1 = i1.reshape(B, K, Kc).astype(jnp.int32)
         # frozen beams: single live continuation (PAD at zero cost)

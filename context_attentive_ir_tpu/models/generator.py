@@ -21,10 +21,22 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, h: jnp.ndarray,
-                 embeddings: Embeddings | None = None) -> jnp.ndarray:
-        """h [..., H] -> logits [..., V]."""
+                 embeddings: Embeddings | None = None,
+                 project_only: bool = False) -> jnp.ndarray:
+        """h [..., H] -> logits [..., V].
+
+        ``project_only=True`` (tied generators only) returns the E-dim
+        tie projection WITHOUT the ``[.., V]`` logits matmul -- the input
+        to the fused Pallas beam-generator kernel
+        (ops/pallas/beamgen.py), which streams the table matmul + top-k +
+        logsumexp without materializing logits in HBM.
+        """
         if self.tie and embeddings is not None:
             proj = nn.Dense(embeddings.features, dtype=self.dtype,
                             name="tie_proj")(h)
+            if project_only:
+                return proj
             return embeddings.attend(proj)
+        if project_only:
+            raise ValueError("project_only requires a tied generator")
         return nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")(h)

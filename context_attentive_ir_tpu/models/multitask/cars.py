@@ -351,3 +351,14 @@ class CARS(nn.Module):
         logits = self.generator(attn_h, self.embeddings)
         # raw logits: greedy/beam normalize internally (decode/beam.py)
         return state, logits, align
+
+    def decode_step_fused(self, state, tokens, memory, memory_mask):
+        """``decode_step`` minus the generator matmul: returns the tied
+        E-dim projection for the fused Pallas generator+top-k kernel
+        (ops/pallas/beamgen.py; beam_search's fused-generator step mode).
+        """
+        emb_t = self.embeddings(tokens, True)
+        state, attn_h, align = self.decoder.step(state, emb_t, memory,
+                                                  memory_mask)
+        proj = self.generator(attn_h, self.embeddings, project_only=True)
+        return state, proj, align

@@ -1,0 +1,171 @@
+"""Fused tied-generator beam step: matmul + running top-k + logsumexp.
+
+Parity target: none in the reference -- this attacks the beam-decode
+bottleneck of the TPU rebuild (SURVEY.md SS2.7 beam search;
+BASELINE.json:5 "seq2seq query-suggestion decoder (with beam search)").
+VERDICT r3 weak #3 / next-round #3: every measured beam variant consumes
+logits already materialized in HBM -- the generator matmul writes
+``[B*K, V]`` (1600 x 50k f32 ~= 320 MB per step at bench shapes), then
+logsumexp and top-k read it back (~1 GB of HBM traffic per decode step).
+
+This kernel never materializes the logits: it streams vocab tiles of the
+tied-embedding matmul ``x [R, E] @ table_t [E, V]`` through the MXU and
+keeps, per row block, three accumulators in VMEM across the vocab sweep:
+
+- a running top-``kc`` (values + vocab indices), updated each tile by
+  ``kc`` exact selection passes over ``[scores_tile | buffer]``;
+- a running max ``m`` and scaled sum ``s`` for a numerically stable
+  logsumexp (the online-softmax recurrence).
+
+HBM traffic per step drops to one read of the (transposed) table per row
+block plus O(R * kc) outputs.  Selection is EXACT and follows
+``lax.top_k`` tie semantics (equal values ordered by ascending vocab
+index): each pass takes the global max and, among equal hits, masks the
+smallest-index lane only.  The candidate set always includes the running
+buffer, whose indices are disjoint from the current tile's columns, so no
+duplicate indices exist by construction.
+
+The price is VPU work: ``kc`` masked max/min reductions over every score
+tile (~kc*4 passes over R*V elements) replace XLA's single fused top-k
+pass.  Whether the HBM savings beat the VPU cost is a measured dispatch
+decision (``ops.dispatch.prefer_fused_generator``, measured by
+``scripts/tpu_experiments.py dispatch_table_beamgen``), same policy as
+the RNN kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+_KPAD = 128  # lane-aligned top-k buffer width (kc <= _KPAD)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _beamgen_kernel(x_ref, t_ref, vals_ref, idx_ref, lse_ref, m_s, s_s, *,
+                    kc: int, v_logical: int, block_v: int, n_v: int):
+    j = pl.program_id(1)
+    scores = jnp.dot(x_ref[:], t_ref[:],
+                     preferred_element_type=jnp.float32)      # [RB, VT]
+    col = (jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+           + j * block_v)
+    # mask table pad columns (only the tail tile has any; one cheap op)
+    scores = jnp.where(col < v_logical, scores, NEG)
+
+    @pl.when(j == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG)
+        s_s[:] = jnp.zeros_like(s_s)
+        vals_ref[:] = jnp.full_like(vals_ref, NEG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    # online logsumexp
+    m_old = m_s[:]                                            # [RB, 1]
+    m_new = jnp.maximum(m_old, jnp.max(scores, -1, keepdims=True))
+    s_s[:] = (s_s[:] * jnp.exp(m_old - m_new)
+              + jnp.sum(jnp.exp(scores - m_new), -1, keepdims=True))
+    m_s[:] = m_new
+
+    # running top-kc: kc exact selection passes over [tile | buffer]
+    comb_v = jnp.concatenate([scores, vals_ref[:]], -1)       # [RB, VT+KPAD]
+    comb_i = jnp.concatenate([col, idx_ref[:]], -1)
+    new_v, new_i = [], []
+    for _ in range(kc):
+        m = jnp.max(comb_v, -1, keepdims=True)                # [RB, 1]
+        hit = comb_v == m
+        ci = jnp.min(jnp.where(hit, comb_i, jnp.int32(2 ** 30)), -1,
+                     keepdims=True)
+        comb_v = jnp.where(hit & (comb_i == ci), NEG, comb_v)
+        new_v.append(m)
+        new_i.append(ci)
+    rb = comb_v.shape[0]
+    new_v.append(jnp.full((rb, _KPAD - kc), NEG, jnp.float32))
+    new_i.append(jnp.zeros((rb, _KPAD - kc), jnp.int32))
+    vals_ref[:] = jnp.concatenate(new_v, -1)
+    idx_ref[:] = jnp.concatenate(new_i, -1)
+
+    @pl.when(j == n_v - 1)
+    def _():
+        lse_ref[:] = m_s[:] + jnp.log(s_s[:])
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "block_r", "block_v",
+                                             "interpret"))
+def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
+                       block_r: int = 320, block_v: int = 2048,
+                       interpret: bool = False):
+    """Fused ``top_k(x @ table_t, kc)`` + ``logsumexp(x @ table_t)``.
+
+    x [R, E] (bf16/f32), table_t [E, V] -> (vals [R, kc] f32,
+    idx [R, kc] i32, lse [R] f32).  The [R, V] logits never exist in HBM.
+    """
+    assert 0 < kc <= _KPAD
+    r, e = x.shape
+    e2, v = table_t.shape
+    assert e == e2, (x.shape, table_t.shape)
+    rp = _ceil_to(r, block_r)
+    vp = _ceil_to(v, block_v)
+    ep = _ceil_to(e, 128)
+    if rp != r or ep != e:
+        x = jnp.pad(x, ((0, rp - r), (0, ep - e)))
+    if vp != v or ep != e:
+        table_t = jnp.pad(table_t, ((0, ep - e), (0, vp - v)))
+    n_r, n_v = rp // block_r, vp // block_v
+
+    kern = functools.partial(_beamgen_kernel, kc=kc, v_logical=v,
+                             block_v=block_v, n_v=n_v)
+    vals, idx, lse = pl.pallas_call(
+        kern,
+        grid=(n_r, n_v),
+        in_specs=[
+            pl.BlockSpec((block_r, ep), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ep, block_v), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_r, _KPAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, _KPAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, _KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((rp, _KPAD), jnp.int32),
+            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_r, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_r, 1), jnp.float32),   # running sumexp
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * ep * vp + 5 * kc * rp * vp,
+            bytes_accessed=(ep * vp * table_t.dtype.itemsize * n_r
+                            + rp * ep * x.dtype.itemsize
+                            + rp * (2 * _KPAD + 1) * 4),
+            transcendentals=rp * vp,
+        ),
+        interpret=interpret,
+    )(x, table_t)
+    return vals[:r, :kc], idx[:r, :kc], lse[:r, 0]
+
+
+def generator_topk_lse_reference(x: jnp.ndarray, table_t: jnp.ndarray,
+                                 kc: int):
+    """XLA reference: materialized logits -> top_k + logsumexp (exactly
+    what decode/beam.py does today on raw logits)."""
+    logits = jnp.dot(x, table_t,
+                     preferred_element_type=jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    vals, idx = jax.lax.top_k(logits, kc)
+    return vals, idx.astype(jnp.int32), lse

@@ -1427,6 +1427,127 @@ def suggest():
                qps=round(64 * 5 / ms, 1))
 
 
+def dispatch_table_beamgen():
+    """Fused Pallas generator+top-k+lse kernel vs the XLA formulation
+    (logits matmul -> logsumexp -> lax.top_k), measured INSIDE a 16-step
+    jitted scan at the bench decode shape (VERDICT r3 next-round #3: the
+    [B*K, V] logits round trip is the one unexplored structural idea in
+    beam decode).  Writes ``beam_gen`` entries consumed by
+    ``ops.dispatch.prefer_fused_generator``.  Usage:
+    dispatch_table_beamgen [kc...] -- each variant is a cold multi-minute
+    Mosaic compile; keep the list short.  Env BEAMGEN_TILES="br:bv,..."
+    overrides the tile sweep."""
+    import os
+
+    from context_attentive_ir_tpu.ops import dispatch
+    from context_attentive_ir_tpu.ops.pallas.beamgen import (
+        generator_topk_lse,
+        generator_topk_lse_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    Bq = 320
+    V = VOCAB
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=5),
+                   timed(fn, *args, warmup=0, iters=5))
+
+    def scan16(impl):
+        @jax.jit
+        def run(h, table_t, prev):
+            def step(carry, _):
+                vals, idx, lse = impl(h, table_t)
+                total = carry[:, None] + (vals - lse[:, None])
+                top, i2 = jax.lax.top_k(total.reshape(Bq, -1),
+                                        total.shape[-1] - 1)
+                return carry, top.sum() + i2.sum() + idx.sum()
+            _, outs = jax.lax.scan(step, prev, jnp.arange(16))
+            return outs
+        return run
+
+    kcs = [int(a) for a in sys.argv[2:]] or [6]
+    tiles = [tuple(int(v) for v in t.split(":")) for t in os.environ.get(
+        "BEAMGEN_TILES", "320:2048").split(",")]
+    new = []
+    for kc in kcs:
+        k = kc - 1
+        r = Bq * k
+        h = jnp.asarray(rng.normal(size=(r, E)) * 0.3, jnp.bfloat16)
+        tt = jnp.asarray(rng.normal(size=(E, V)) * 0.3, jnp.bfloat16)
+        prev = jnp.zeros((r,), jnp.float32)
+        xla_ms = timed2(scan16(lambda h, t: generator_topk_lse_reference(
+            h, t, kc)), h, tt, prev) * 1e3
+        best = None
+        for br, bv in tiles:
+            f_ms = timed2(scan16(lambda h, t, br=br, bv=bv:
+                                 generator_topk_lse(h, t, kc, block_r=br,
+                                                    block_v=bv)),
+                          h, tt, prev) * 1e3
+            report("dispatch_beamgen", f_ms / 1e3, kc=kc, rows=r,
+                   block_r=br, block_v=bv, xla_ms=round(xla_ms, 3))
+            if best is None or f_ms < best[0]:
+                best = (f_ms, br, bv)
+        new.append(dict(kind="beam_gen", v=V, e=E, kc=kc, rows=r,
+                        fused_ms=round(best[0], 3),
+                        xla_ms=round(xla_ms, 3),
+                        block_r=best[1], block_v=best[2]))
+    merged = [e for e in dispatch._load_table()
+              if e.get("kind") != "beam_gen"] + new
+    dispatch.write_table(merged)
+    print(json.dumps({"exp": "dispatch_table_beamgen",
+                      "written": str(dispatch.TABLE_PATH),
+                      "n_entries": len(merged)}), flush=True)
+
+
+def beam_fused_e2e():
+    """END-TO-END confirmation for the fused generator (CLAUDE.md round-2
+    lesson: dispatch decisions are confirmed end-to-end, not from
+    microbenches): full CARS beam-5 suggestion decode at the bench shape,
+    logits step vs fused Pallas step, min-of-2 passes each."""
+    import bench as bench_mod
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+
+    def run(fused):
+        return jax.jit(lambda p, b: _suggest_impl(model, p, b, fused))
+
+    from context_attentive_ir_tpu.decode import (beam_search,
+                                                 make_fused_beam_step)
+
+    def _suggest_impl(model, params, batch, fused):
+        var = {"params": params}
+        state, memory, memory_mask = model.apply(
+            var, batch, method=model.decode_init)
+        rows = memory.shape[0]
+        rep = lambda x: jnp.repeat(x, 5, axis=0)
+        mem_k, mask_k = rep(memory), rep(memory_mask)
+        if fused:
+            step = make_fused_beam_step(model, var, params, mem_k, mask_k,
+                                        kc=6)
+        else:
+            step = lambda st, toks: model.apply(
+                var, st, toks, mem_k, mask_k, method=model.decode_step)
+        return beam_search(step, state, rows, 16, 5)
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=10),
+                   timed(fn, *args, warmup=0, iters=10))
+
+    for fused in (False, True):
+        ms = timed2(run(fused), params, batch)
+        report("beam_fused_e2e", ms, fused=fused,
+               qps=round(64 * 5 / ms, 1))
+    # decoded-output parity on-chip (sequences must match exactly)
+    s1, sc1 = jax.device_get(run(False)(params, batch))
+    s2, sc2 = jax.device_get(run(True)(params, batch))
+    mismatch = int((np.asarray(s1) != np.asarray(s2)).sum())
+    print(json.dumps({"exp": "beam_fused_e2e", "seq_mismatch": mismatch,
+                      "score_max_diff": float(np.max(np.abs(
+                          np.asarray(sc1) - np.asarray(sc2))))}),
+          flush=True)
+
+
 if __name__ == "__main__":
     # watchdog was armed before `import jax` (top of file); disarm once
     # backend init + one tiny fenced op complete
@@ -1447,4 +1568,6 @@ if __name__ == "__main__":
      "engine_host": engine_host, "scan_unroll": scan_unroll,
      "large_r": large_r, "large_r2": large_r2, "hoist_check": hoist_check,
      "scale_bucketing": scale_bucketing,
+     "dispatch_table_beamgen": dispatch_table_beamgen,
+     "beam_fused_e2e": beam_fused_e2e,
      "dispatch_table": dispatch_table}[exp]()

@@ -1,0 +1,148 @@
+"""Fused beam-generator kernel: exactness vs the XLA formulation.
+
+The kernel (ops/pallas/beamgen.py) replaces [logits matmul -> logsumexp ->
+lax.top_k] inside the beam step without materializing the [R, V] logits;
+these tests pin (a) bit-exact parity with the XLA reference on integer
+bf16 data (where the matmul is exact in f32 accumulation, so any
+difference is a kernel bug, not rounding), (b) tolerance parity on random
+data, (c) lax.top_k tie semantics (equal values ordered by ascending
+index), and (d) END-TO-END beam_search equality between the fused step
+mode and the logits mode.  Compiled-mode parity runs on-chip in bench.py's
+kernel_parity harness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from context_attentive_ir_tpu.decode import beam_search
+from context_attentive_ir_tpu.ops.pallas.beamgen import (
+    generator_topk_lse,
+    generator_topk_lse_reference,
+)
+
+
+def _data(rng, r, e, v, integer=False, dtype=jnp.bfloat16):
+    if integer:
+        x = rng.randint(-3, 4, size=(r, e)).astype(np.float32)
+        t = rng.randint(-3, 4, size=(e, v)).astype(np.float32)
+    else:
+        x = rng.normal(size=(r, e)).astype(np.float32) * 0.5
+        t = rng.normal(size=(e, v)).astype(np.float32) * 0.5
+    return jnp.asarray(x, dtype), jnp.asarray(t, dtype)
+
+
+def test_beamgen_bit_exact_on_integer_data():
+    rng = np.random.RandomState(0)
+    x, tt = _data(rng, 70, 96, 1000, integer=True)
+    v1, i1, l1 = generator_topk_lse(x, tt, 6, block_r=16, block_v=256,
+                                    interpret=True)
+    v2, i2, l2 = generator_topk_lse_reference(x, tt, 6)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-6)
+
+
+def test_beamgen_random_data_close():
+    rng = np.random.RandomState(1)
+    # deliberately unaligned R, E, V: exercises all three pad paths
+    x, tt = _data(rng, 53, 100, 999)
+    v1, i1, l1 = generator_topk_lse(x, tt, 4, block_r=16, block_v=256,
+                                    interpret=True)
+    v2, i2, l2 = generator_topk_lse_reference(x, tt, 4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    assert (np.asarray(i1) == np.asarray(i2)).mean() > 0.99
+
+
+def test_beamgen_tie_semantics_match_lax_topk():
+    """Duplicate values across vocab positions (and across tile
+    boundaries): selection order must match lax.top_k (ascending index
+    among equal values)."""
+    x = jnp.ones((8, 8), jnp.float32)
+    # columns of the table repeat, so many exact ties exist
+    base = np.arange(64) % 4          # values in {0..3}, heavy ties
+    tt = jnp.asarray(np.tile(base[None, :], (8, 1)), jnp.float32) / 4.0
+    v1, i1, l1 = generator_topk_lse(x, tt, 7, block_r=8, block_v=16,
+                                    interpret=True)
+    v2, i2, _ = generator_topk_lse_reference(x, tt, 7)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_beam_search_fused_step_mode_matches_logits_mode():
+    """Full beam_search: the fused-generator step mode must decode the
+    SAME sequences and scores as the logits mode (toy linear decoder
+    whose 'generator' is a tied table matmul)."""
+    rng = np.random.RandomState(3)
+    B, K, V, E, T = 5, 3, 97, 32, 7
+    table = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(E, E)).astype(np.float32) * 0.3)
+    emb = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32) * 0.5)
+
+    def proj_of(state, tokens):
+        h = state["h"] * 0.9 + jnp.take(emb, tokens, axis=0)
+        return {"h": h}, jnp.tanh(h @ w)
+
+    def step_logits(state, tokens):
+        state, p = proj_of(state, tokens)
+        return state, p @ table.T
+
+    def step_fused(state, tokens):
+        state, p = proj_of(state, tokens)
+        out = generator_topk_lse(p, table.T, K + 1, block_r=8,
+                                 block_v=32, interpret=True)
+        return state, out
+
+    init = {"h": jnp.asarray(rng.normal(size=(B, E)).astype(np.float32))}
+    s1, sc1 = beam_search(step_logits, init, B, T, K, min_length=2)
+    s2, sc2 = beam_search(step_fused, init, B, T, K, min_length=2)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
+                               atol=1e-5)
+    # n-best too
+    n1 = beam_search(step_logits, init, B, T, K, return_nbest=True)
+    n2 = beam_search(step_fused, init, B, T, K, return_nbest=True)
+    np.testing.assert_array_equal(np.asarray(n1[0]), np.asarray(n2[0]))
+    np.testing.assert_allclose(np.asarray(n1[1]), np.asarray(n2[1]),
+                               atol=1e-5)
+
+
+def test_beam_search_fused_step_requires_spare_slot():
+    B, K, E, V = 2, 3, 8, 64
+    table_t = jnp.zeros((E, V), jnp.float32)
+
+    def step(state, tokens):
+        out = generator_topk_lse(state, table_t, K,  # K, not K+1
+                                 block_r=8, block_v=32, interpret=True)
+        return state, out
+
+    with pytest.raises(ValueError, match="K\\+1"):
+        beam_search(step, jnp.zeros((B, E), jnp.float32), B, 4, K)
+
+
+def test_cars_decode_step_fused_matches_decode_step():
+    """CARS.decode_step_fused + table matmul == decode_step logits (the
+    projection split introduces no numeric change)."""
+    import bench as bench_mod
+
+    cfg, model, params, batch = bench_mod._build_cars(
+        False, b=4, s=2, n=6, vocab=512)
+    var = {"params": params}
+    state, memory, mask = model.apply(var, batch,
+                                      method=model.decode_init)
+    toks = jnp.full((memory.shape[0],), 2, jnp.int32)
+    st1, logits, _ = model.apply(var, state, toks, memory, mask,
+                                 method=model.decode_step)
+    st2, proj, _ = model.apply(var, state, toks, memory, mask,
+                               method=model.decode_step_fused)
+    table = params["embeddings"]["embedding"]
+    re = (proj.astype(jnp.float32)
+          @ table.T.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(re), np.asarray(logits,
+                                                          np.float32),
+                               atol=2e-2, rtol=2e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(st1),
+                    jax.tree_util.tree_leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
