@@ -211,6 +211,27 @@ def kernel_parity_checks() -> dict:
                                                      w_p, b_p))
     results["pool_rel_err"] = _max_rel_err(pk, pr)
 
+    # 4b. fused beam-generator kernel vs XLA (matmul + top-k + lse).
+    #    Measured BIT-EXACT on-chip vs the f32-accumulation reference
+    #    (round 4); note the production logits path rounds logits to
+    #    bf16 before top-k, so fused beam decode may legitimately
+    #    resolve bf16 near-ties differently -- the kernel itself must
+    #    match the exact-f32 reference.
+    from context_attentive_ir_tpu.ops.pallas.beamgen import (
+        generator_topk_lse,
+        generator_topk_lse_reference,
+    )
+
+    xg = jnp.asarray(rng.normal(size=(1600, EMSIZE)) * 0.3, jnp.bfloat16)
+    tg = jnp.asarray(rng.normal(size=(EMSIZE, VOCAB)) * 0.3, jnp.bfloat16)
+    vk, ik, lk = jax.device_get(generator_topk_lse(xg, tg, BEAM + 1))
+    vr, ir, lr = jax.device_get(generator_topk_lse_reference(xg, tg,
+                                                             BEAM + 1))
+    results["beamgen_val_rel_err"] = _max_rel_err(vk, vr)
+    results["beamgen_lse_rel_err"] = _max_rel_err(lk, lr)
+    results["beamgen_idx_agreement"] = float(
+        (np.asarray(ik) == np.asarray(ir)).mean())
+
     # 5. end-to-end: CARS loss + grad-norm, kernel config vs scan config
     #    (same params -- the pallas flags do not change the param tree)
     cfg_k, model_k, params, batch = _build_cars(True, b=16, s=3, n=10,
@@ -241,8 +262,11 @@ def kernel_parity_checks() -> dict:
     tol = {"lstm_fwd_rel_err": 0.05, "lstm_bwd_rel_err": 0.08,
            "gru_bwd_rel_err": 0.08,
            "pool_rel_err": 0.05, "train_loss_rel_err": 0.02,
-           "train_gnorm_rel_err": 0.08}
+           "train_gnorm_rel_err": 0.08,
+           "beamgen_val_rel_err": 1e-3, "beamgen_lse_rel_err": 1e-3}
     bad = {k: v for k, v in tol.items() if results[k] > v}
+    if results["beamgen_idx_agreement"] < 0.999:
+        bad["beamgen_idx_agreement"] = results["beamgen_idx_agreement"]
     if bad:
         raise RuntimeError(
             f"KERNEL PARITY REGRESSION: {bad} (full: {results})")
@@ -498,6 +522,8 @@ def main():
         "dtype": "bfloat16",
         "pallas_fused_lstm": "auto (on-chip-measured dispatch table, "
                              "ops/dispatch_table.json)",
+        "pallas_fused_beam_generator": "auto (dispatch table beam_gen "
+                                       "rows; round-4 kernel)",
         "pallas_fused_slate_pool": False,
         "model": "cars.score (session-aware slate reranking) + "
                  "cars.decode (beam-5 suggestion)",

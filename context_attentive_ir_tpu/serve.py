@@ -410,9 +410,27 @@ class Engine:
             rep = lambda x: jnp.repeat(x, beam_size, axis=0)
             mem_k, mask_k = rep(memory), rep(memory_mask)
             kw_k = {k: rep(v) for k, v in kwargs.items()}
-            step = lambda st, toks: self.model.apply(
-                var, st, toks, mem_k, mask_k, method=self.model.decode_step,
-                **kw_k)
+            step = None
+            if not kwargs and jax.default_backend() == "tpu":
+                # fused Pallas generator+top-k step where the measured
+                # dispatch table says it wins (exact either way; models
+                # without decode_step_fused / tied f32 tables fall back)
+                from .decode import make_fused_beam_step
+                from .models.base import compute_dtype
+                from .ops.dispatch import prefer_fused_generator
+
+                if prefer_fused_generator(rows * beam_size,
+                                          self.config.vocab_size,
+                                          self.config.emsize,
+                                          beam_size + 1):
+                    step = make_fused_beam_step(
+                        self.model, var, params, mem_k, mask_k,
+                        kc=beam_size + 1,
+                        dtype=compute_dtype(self.config))
+            if step is None:
+                step = lambda st, toks: self.model.apply(
+                    var, st, toks, mem_k, mask_k,
+                    method=self.model.decode_step, **kw_k)
             return beam_search(step, state, rows, max_len, beam_size,
                                return_nbest=True)
         step = lambda st, toks: self.model.apply(

@@ -716,10 +716,23 @@ def scale_bucketing():
 
 def dispatch_table():
     """Regenerate ops/dispatch_table.json on the attached chip (VERDICT r2
-    next-round #4): measure fused-forward kernel vs XLA scan for LSTM and
-    GRU at the production tile params across a row grid, at the bench
-    dims.  Each (kind, rows) pair is 2 cold compiles -- keep the grid
-    small (override: dispatch_table <rows...>)."""
+    next-round #4; breadth: VERDICT r3 missing #4): measure fused-forward
+    kernel vs XLA scan at the production tile params across a row grid.
+
+    Usage: dispatch_table [rows...]   (default 2000 8000 16000)
+    Env DISPATCH_SHAPES="t:e:h:dtype,..." selects shape families
+    (default the bench doc-encoder family 30:256:128:bfloat16, which also
+    measures GRU; other families measure LSTM only -- each (shape, rows,
+    path) is a cold multi-minute compile).  For e not 128-aligned
+    (GloVe 300) inputs are lane-padded exactly as production
+    (Embeddings.lookup_padded + RNNLayer.in_features) and the entry is
+    keyed by the LOGICAL e.  Env DISPATCH_TRAIN=1 additionally measures
+    the TRAINING pair (value_and_grad through the fused kernels vs the
+    scan) and writes mode="train" rows -- these override the baked-in
+    "training always prefers the kernel pair" default where present
+    (ops.dispatch.prefer_kernel)."""
+    import os
+
     from context_attentive_ir_tpu.ops import dispatch
     from context_attentive_ir_tpu.ops.pallas.gru import (
         _gru_fused_impl,
@@ -727,10 +740,17 @@ def dispatch_table():
     )
     from context_attentive_ir_tpu.ops.pallas.lstm import (
         _lstm_fused_impl,
+        lstm_pallas_fused,
         lstm_pallas_reference,
     )
 
     rows_list = [int(r) for r in sys.argv[2:]] or [2000, 8000, 16000]
+    shapes = []
+    for tok in os.environ.get("DISPATCH_SHAPES",
+                              f"{T}:{E}:{H}:bfloat16").split(","):
+        t_, e_, h_, dt_ = tok.split(":")
+        shapes.append((int(t_), int(e_), int(h_), dt_))
+    measure_train = os.environ.get("DISPATCH_TRAIN") == "1"
     entries = []
     rng = np.random.RandomState(0)
 
@@ -739,44 +759,76 @@ def dispatch_table():
     def timed2(fn, *args):
         return min(timed(fn, *args), timed(fn, *args))
 
-    for rows in rows_list:
-        x, mask, w_ih, b, w_hh = _lstm_inputs(rows=rows)
+    for (t_, e_, h_, dt_) in shapes:
+        dtype = jnp.dtype(dt_).type
+        ep = -(-e_ // 128) * 128 if e_ >= 128 else e_  # production pad
+        default_family = (t_, e_, h_, dt_) == (T, E, H, "bfloat16")
+        for rows in rows_list:
+            x, mask, w_ih, b, w_hh = _lstm_inputs(dtype=dtype, rows=rows,
+                                                  t=t_, e=ep, h=h_)
+            if ep != e_:  # zero the pad rows like lookup_padded does
+                w_ih = w_ih.at[e_:].set(0)
 
-        @jax.jit
-        def scan_path(x, mask, w_ih, b, w_hh):
-            return lstm_pallas_reference(x @ w_ih + b, mask, w_hh)
+            @jax.jit
+            def scan_path(x, mask, w_ih, b, w_hh):
+                return lstm_pallas_reference(x @ w_ih + b, mask, w_hh)
 
-        scan_ms = timed2(scan_path, x, mask, w_ih, b, w_hh) * 1e3
-        kern_ms = timed2(jax.jit(functools.partial(_lstm_fused_impl)),
-                         x, mask, w_ih, b, w_hh) * 1e3
-        e = dict(kind="lstm", mode="infer", t=T, e=E, h=H,
-                 dtype="bfloat16", rows=rows,
-                 kernel_ms=round(kern_ms, 3), scan_ms=round(scan_ms, 3))
-        report("dispatch_lstm", kern_ms / 1e3, rows=rows,
-               scan_ms=round(scan_ms, 3))
-        entries.append(e)
+            scan_ms = timed2(scan_path, x, mask, w_ih, b, w_hh) * 1e3
+            kern_ms = timed2(jax.jit(functools.partial(_lstm_fused_impl)),
+                             x, mask, w_ih, b, w_hh) * 1e3
+            entries.append(dict(kind="lstm", mode="infer", t=t_, e=e_,
+                                h=h_, dtype=dt_, rows=rows,
+                                kernel_ms=round(kern_ms, 3),
+                                scan_ms=round(scan_ms, 3)))
+            report("dispatch_lstm", kern_ms / 1e3, rows=rows, t=t_, e=e_,
+                   dtype=dt_, scan_ms=round(scan_ms, 3))
 
-        w_ih3 = jnp.asarray(rng.normal(size=(E, 3 * H)) * 0.1, jnp.bfloat16)
-        b_ih3 = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
-        w_hh3 = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.1, jnp.bfloat16)
-        b_hh3 = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.bfloat16)
-        gscan_ms = timed2(jax.jit(gru_pallas_reference), x, mask, w_ih3,
-                          b_ih3, w_hh3, b_hh3) * 1e3
-        gkern_ms = timed2(jax.jit(functools.partial(_gru_fused_impl)),
-                          x, mask, w_ih3, b_ih3, w_hh3, b_hh3) * 1e3
-        entries.append(dict(kind="gru", mode="infer", t=T, e=E, h=H,
-                            dtype="bfloat16", rows=rows,
-                            kernel_ms=round(gkern_ms, 3),
-                            scan_ms=round(gscan_ms, 3)))
-        report("dispatch_gru", gkern_ms / 1e3, rows=rows,
-               scan_ms=round(gscan_ms, 3))
+            if measure_train:
+                def loss_k(x, w_ih, b, w_hh):
+                    return jnp.sum(lstm_pallas_fused(x, mask, w_ih, b,
+                                                     w_hh)
+                                   .astype(jnp.float32) ** 2)
+
+                def loss_s(x, w_ih, b, w_hh):
+                    return jnp.sum(lstm_pallas_reference(
+                        x @ w_ih + b, mask, w_hh).astype(jnp.float32) ** 2)
+
+                gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3)))
+                gs = jax.jit(jax.grad(loss_s, argnums=(0, 1, 2, 3)))
+                ktr = timed2(gk, x, w_ih, b, w_hh) * 1e3
+                str_ = timed2(gs, x, w_ih, b, w_hh) * 1e3
+                entries.append(dict(kind="lstm", mode="train", t=t_, e=e_,
+                                    h=h_, dtype=dt_, rows=rows,
+                                    kernel_ms=round(ktr, 3),
+                                    scan_ms=round(str_, 3)))
+                report("dispatch_lstm_train", ktr / 1e3, rows=rows, t=t_,
+                       e=e_, dtype=dt_, scan_ms=round(str_, 3))
+
+            if not default_family:
+                continue  # GRU support points only at the bench family
+            w_ih3 = jnp.asarray(rng.normal(size=(ep, 3 * h_)) * 0.1,
+                                dtype)
+            b_ih3 = jnp.asarray(rng.normal(size=(3 * h_,)) * 0.1, dtype)
+            w_hh3 = jnp.asarray(rng.normal(size=(h_, 3 * h_)) * 0.1,
+                                dtype)
+            b_hh3 = jnp.asarray(rng.normal(size=(3 * h_,)) * 0.1, dtype)
+            gscan_ms = timed2(jax.jit(gru_pallas_reference), x, mask,
+                              w_ih3, b_ih3, w_hh3, b_hh3) * 1e3
+            gkern_ms = timed2(jax.jit(functools.partial(_gru_fused_impl)),
+                              x, mask, w_ih3, b_ih3, w_hh3, b_hh3) * 1e3
+            entries.append(dict(kind="gru", mode="infer", t=t_, e=e_,
+                                h=h_, dtype=dt_, rows=rows,
+                                kernel_ms=round(gkern_ms, 3),
+                                scan_ms=round(gscan_ms, 3)))
+            report("dispatch_gru", gkern_ms / 1e3, rows=rows,
+                   scan_ms=round(gscan_ms, 3))
     # merge: preserve beam rows AND any lstm/gru support point not
     # re-measured this run (a `dispatch_table 2000` re-measure must not
     # discard the 4000/8000/16000 points production dispatch relies on)
     fresh = {(e["kind"], e["mode"], e["t"], e["e"], e["h"], e["dtype"],
               e["rows"]) for e in entries}
     for e in dispatch._load_table():
-        if e.get("kind") == "beam_topk":
+        if e.get("kind") in ("beam_topk", "beam_gen"):
             entries.append(e)
         elif (e["kind"], e["mode"], e["t"], e["e"], e["h"], e["dtype"],
               e["rows"]) not in fresh:
@@ -921,6 +973,76 @@ def score_e2e():
         docs = 64 * 5 * 50
         report("score_e2e", ms, use_pallas_rnn=use_pallas,
                docs_per_sec=round(docs / ms, 1))
+
+
+def score_parts():
+    """Cumulative-prefix attribution of the serving score step (VERDICT
+    r3 weak #2 / next-round #7: the component-floor sum left ~1.5 ms of
+    the 13.4 ms step unattributed, and the components were timed in
+    ISOLATION, which this machine's round-2 lesson says inflates).
+
+    Times jitted PREFIXES of the real score computation -- each prefix is
+    the previous plus one stage, the last prefix IS ``model.score`` -- so
+    consecutive differences attribute per-stage cost and the stages sum
+    EXACTLY to the measured full step by construction.  Caveat (recorded
+    with the ledger entry): XLA may fuse/DCE a prefix differently than
+    the same ops inside the full graph, so deltas are still an
+    approximation -- but a same-process, same-compile-policy one, unlike
+    the round-2 isolated timings.  Min-of-2 passes per prefix."""
+    import bench as bench_mod
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+
+    def red(*xs):
+        tot = jnp.float32(0)
+        for x in xs:
+            for leaf in jax.tree_util.tree_leaves(x):
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
+        return tot
+
+    def p_gather(m, b):
+        return red(m.embeddings.lookup_padded(b.docs, True))
+
+    def p_docenc(m, b):
+        return red(m.encode_docs(b.docs, b.doc_mask, True))
+
+    def p_qenc(m, b):
+        d = m.encode_docs(b.docs, b.doc_mask, True)
+        return red(d, m._encode_queries(b, True))
+
+    def p_pool(m, b):
+        d = m.encode_docs(b.docs, b.doc_mask, True)
+        q_states, qv = m._encode_queries(b, True)
+        dv = m.doc_pool(d, b.doc_mask,
+                        jnp.broadcast_to(qv[:, :, None, :],
+                                         d.shape[:3] + (qv.shape[-1],)))
+        return red(q_states, qv, dv)
+
+    def p_flows(m, b):
+        return red(m.encode_session(b, True))
+
+    def p_full(m, b):
+        return red(m.score(b))
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=3, iters=20),
+                   timed(fn, *args, warmup=0, iters=20))
+
+    stages = [("gather", p_gather), ("doc_encoder", p_docenc),
+              ("query_encoder", p_qenc), ("doc_pool", p_pool),
+              ("session_flows", p_flows), ("ctx_attn_rank_head", p_full)]
+    prev, out = 0.0, {}
+    for name, fn in stages:
+        f = jax.jit(lambda p, b, fn=fn: model.apply({"params": p}, b,
+                                                    method=fn))
+        ms = timed2(f, params, batch) * 1e3
+        out[name] = {"cum_ms": round(ms, 3),
+                     "delta_ms": round(ms - prev, 3)}
+        report("score_parts", ms / 1e3, stage=name,
+               delta_ms=round(ms - prev, 3))
+        prev = ms
+    print(json.dumps({"exp": "score_parts", "attribution": out,
+                      "full_ms": round(prev, 3)}), flush=True)
 
 
 def train_e2e():
@@ -1560,6 +1682,7 @@ if __name__ == "__main__":
      "pool": pool, "suggest": suggest, "gru": gru,
      "scan_vs_fused": scan_vs_fused, "gru_small": gru_small,
      "score_e2e": score_e2e, "train_e2e": train_e2e,
+     "score_parts": score_parts,
      "beam_parts": beam_parts, "beam_topk": beam_topk,
      "dispatch_table_beam": dispatch_table_beam,
      "indexed": indexed,

@@ -614,6 +614,88 @@ def test_click_corpus_ranking_needs_the_click():
             assert ov_c == max(confusers) == min(confusers), (t, q["text"])
 
 
+def _train_cars_click_suggest(epochs: int, seed: int = 1,
+                              eval_every: int = 10, exit_at: float = 0.85):
+    """Train CARS on the click-keyed suggestion corpus; returns
+    (cfg, word_dict, final params, best BLEU-4, test sessions).  Recipe
+    from scripts/click_gate_study.py: emsize/nhid 64 (the click-keyed
+    association does not transition at gate dims 32 -- RESULTS.md
+    round-3 caveat), lr 5e-3, 240 train sessions; measured transition at
+    epoch ~130-180 (seed 1), HRED-QS pinned at the 0.7186 blind optimum
+    for 60 epochs."""
+    import jax
+
+    from context_attentive_ir_tpu.data.synthetic import (
+        generate_click_keyed_suggestion_sessions,
+    )
+    from context_attentive_ir_tpu.models import build_model
+    from context_attentive_ir_tpu.train import (
+        create_train_state,
+        make_iterator,
+        make_train_step,
+    )
+    from context_attentive_ir_tpu.train.evaluate import (
+        build_decode_fn,
+        evaluate_suggestions,
+    )
+
+    kw = dict(n_candidates=6, n_groups=3)
+    train = [Session.from_dict(d)
+             for d in generate_click_keyed_suggestion_sessions(
+                 n_sessions=240, seed=0, **kw)]
+    test = [Session.from_dict(d)
+            for d in generate_click_keyed_suggestion_sessions(
+                n_sessions=48, seed=2, **kw)]
+    streams = [q.tokens for s in train for q in s.queries]
+    streams += [d.tokens for s in train for q in s.queries
+                for d in q.documents]
+    word_dict = build_dictionary(streams)
+    dims = dict(emsize=64, nhid=64, nhid_ffnn=128, nfilters=8,
+                max_query_len=5, max_doc_len=9, max_session_len=3,
+                num_candidates=6, dropout=0.0, dropout_emb=0.0,
+                dropout_rnn=0.0)
+    cfg = default_config("cars").replace(
+        vocab_size=len(word_dict), learning_rate=5e-3, **dims)
+    model = build_model(cfg)
+    it = make_iterator(train, cfg, word_dict, batch_size=24, shuffle=True,
+                       seed=seed)
+    state = create_train_state(model, cfg, next(iter(it.epoch(0))),
+                               jax.random.key(seed))
+    step = make_train_step(model, cfg)
+    decode = build_decode_fn(model, cfg, beam_size=1)
+    test_batches = list(make_iterator(test, cfg, word_dict, batch_size=24,
+                                      shuffle=False, seed=0))
+    rng = jax.random.key(2)
+    best = 0.0
+    for epoch in range(epochs):
+        for batch in it.epoch(epoch):
+            state, _ = step(state, batch, rng)
+        if (epoch + 1) % eval_every == 0:
+            m = evaluate_suggestions(decode, state.params, test_batches,
+                                     word_dict)
+            best = max(best, m["bleu-4"])
+            if best >= exit_at:
+                break
+    return cfg, word_dict, state.params, best, test
+
+
+def test_cars_click_suggestion_gate():
+    """THE click-flow suggestion gate (VERDICT r3 missing #2 / weak #4):
+    on the click-keyed corpus -- queries chain-symmetric until the
+    crossing, chain bit ONLY in turn-0's clicked doc -- trained CARS must
+    cross the doc-blind generator ceiling (corpus BLEU-4 = 0.7186, the
+    analytic optimum; trained HRED-QS lands on it EXACTLY and never
+    moves, scripts/click_gate_study.py) by a wide margin.  A broken
+    click-flow -> decoder-init path keeps CARS at the blind optimum and
+    fails here; HRED-QS cannot pass by construction, so this gate is
+    CARS-specific -- the generative analogue of the ranking click gate.
+    Measured transition epoch ~130-180 (study log, seed 1, best 0.9534
+    at 300 epochs); budget 220 epochs with early exit."""
+    _, _, _, best, _ = _train_cars_click_suggest(epochs=220)
+    assert best >= 0.80, (
+        f"CARS BLEU-4 {best} did not cross the doc-blind ceiling 0.7186")
+
+
 def test_history_aware_suggester_beats_ablated_floor(tmp_path):
     """THE suggestion capability gate (VERDICT r2 next-round #1): on the
     long-chain corpus a history-reading generator (HRED-QS) must beat the

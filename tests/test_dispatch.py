@@ -34,10 +34,52 @@ def _entry(rows, kernel_ms, scan_ms, **kw):
 
 
 def test_training_always_kernel():
+    """Unmeasured training shapes default to the kernel pair (the
+    end-to-end-measured rule, PERF.md r2 #7/#11/#16)."""
     assert dispatch.prefer_kernel("lstm", 10 ** 6, 30, 256, 128,
                                   "bfloat16", training=True)
     assert dispatch.prefer_kernel("gru", 8, 5, 32, 128, "float32",
                                   training=True)
+
+
+def test_training_rule_overridden_by_measured_train_rows(tmp_path):
+    """A measured mode='train' row at a matching shape overrides the
+    always-kernel default (VERDICT r3 missing #4: the rule was
+    extrapolated from one shape family; now it is testable per family)."""
+    old = _with_table(tmp_path, [
+        _entry(2000, kernel_ms=9.0, scan_ms=1.0, mode="train"),
+    ])
+    try:
+        # measured: scan wins training at this family -> honored
+        assert not dispatch.prefer_kernel("lstm", 2000, 30, 256, 128,
+                                          "bfloat16", training=True)
+        # unmeasured family -> the default rule still applies
+        assert dispatch.prefer_kernel("lstm", 2000, 15, 256, 128,
+                                      "bfloat16", training=True)
+        # and inference at the same family ignores train rows
+        assert dispatch.prefer_kernel("lstm", 2000, 30, 256, 128,
+                                      "bfloat16", training=False)
+    finally:
+        _restore(old)
+
+
+def test_beam_gen_dispatch(tmp_path):
+    """prefer_fused_generator: measured beam_gen rows decide; unmeasured
+    -> False (the XLA formulation)."""
+    old = _with_table(tmp_path, [
+        dict(kind="beam_gen", v=50_000, e=256, kc=6, rows=1600,
+             fused_ms=6.3, xla_ms=8.9),
+        dict(kind="beam_gen", v=5_000, e=256, kc=6, rows=1600,
+             fused_ms=3.0, xla_ms=1.0),
+    ])
+    try:
+        assert dispatch.prefer_fused_generator(1600, 50_000, 256, 6)
+        assert dispatch.prefer_fused_generator(2000, 40_000, 256, 6)
+        assert not dispatch.prefer_fused_generator(1600, 5_000, 256, 6)
+        assert not dispatch.prefer_fused_generator(1600, 50_000, 300, 6)
+        assert not dispatch.prefer_fused_generator(1600, 50_000, 256, 4)
+    finally:
+        _restore(old)
 
 
 def test_nearest_row_point_decides(tmp_path):

@@ -371,6 +371,104 @@ def test_rank_with_clicked_docs(trained_cars):
         eng.rank_indexed(cur, ids, index, [(h_plain[0], [len(corpus)])])
 
 
+def _served_map(eng, sessions, with_clicks: bool) -> float:
+    """MAP of Engine.rank_batch over every turn, history entries as
+    (query, [clicked docs]) pairs or plain strings."""
+    from context_attentive_ir_tpu.eval import ranking_metrics
+
+    reqs, labels = [], []
+    for sess in sessions:
+        hist = []
+        for q in sess.queries:
+            docs = [" ".join(d.tokens) for d in q.documents]
+            reqs.append((" ".join(q.tokens), docs, list(hist)))
+            labels.append([float(d.label) for d in q.documents])
+            clicked = [" ".join(d.tokens) for d in q.documents
+                       if d.label == 1]
+            hist.append((" ".join(q.tokens), clicked) if with_clicks
+                        else " ".join(q.tokens))
+    scores = []
+    for i in range(0, len(reqs), 16):
+        scores.extend(eng.rank_batch(reqs[i:i + 16]))
+    n = max(len(r) for r in labels)
+    S = np.full((len(scores), n), -1e9, np.float32)
+    L = np.zeros((len(scores), n), np.float32)
+    C = np.zeros((len(scores), n), bool)
+    for i, (s, l) in enumerate(zip(scores, labels)):
+        S[i, :len(s)] = s
+        L[i, :len(l)] = l
+        C[i, :len(s)] = True
+    return ranking_metrics(S, L, C, np.ones(len(scores), bool))["map"]
+
+
+def test_served_click_ranking_gate():
+    """THE engine-level click-ranking gate (VERDICT r3 missing #1 Done
+    criterion): on the click-mode ambiguous corpus (sense revealed ONLY
+    by turn-0's click) a trained CARS served through Engine.rank_batch
+    must beat its own served-without-clicks scores by a wide MAP margin,
+    mirroring the no_click_flow ablation (RESULTS.md: study run 150
+    epochs -> served 0.8613 with clicks vs 0.4961 without).  Recipe from
+    scripts/click_rank_study.py: emsize/nhid 64, lr 5e-3, seed 1,
+    measured transition at epoch ~40-49; budget 70 epochs, early exit."""
+    import jax
+
+    from context_attentive_ir_tpu.data.synthetic import (
+        generate_ambiguous_sessions,
+    )
+    from context_attentive_ir_tpu.models import build_model
+    from context_attentive_ir_tpu.train import (
+        create_train_state,
+        make_iterator,
+        make_train_step,
+    )
+    from context_attentive_ir_tpu.train.evaluate import evaluate_ranker
+    from context_attentive_ir_tpu.train.steps import make_score_step
+
+    kw = dict(n_candidates=6, n_groups=3, modes=("click",))
+    train = [Session.from_dict(d) for d in generate_ambiguous_sessions(
+        n_sessions=240, seed=0, **kw)]
+    test = [Session.from_dict(d) for d in generate_ambiguous_sessions(
+        n_sessions=48, seed=2, **kw)]
+    streams = [q.tokens for s in train for q in s.queries]
+    streams += [d.tokens for s in train for q in s.queries
+                for d in q.documents]
+    word_dict = build_dictionary(streams)
+    dims = dict(emsize=64, nhid=64, nhid_ffnn=128, nfilters=8,
+                max_query_len=3, max_doc_len=5, max_session_len=5,
+                num_candidates=6, dropout=0.0, dropout_emb=0.0,
+                dropout_rnn=0.0)
+    cfg = default_config("cars").replace(
+        vocab_size=len(word_dict), learning_rate=5e-3, **dims)
+    model = build_model(cfg)
+    it = make_iterator(train, cfg, word_dict, batch_size=24, shuffle=True,
+                       seed=1)
+    state = create_train_state(model, cfg, next(iter(it.epoch(0))),
+                               jax.random.key(1))
+    step = make_train_step(model, cfg)
+    score = make_score_step(model, cfg)
+    test_batches = list(make_iterator(test, cfg, word_dict, batch_size=24,
+                                      shuffle=False, seed=0))
+    rng = jax.random.key(7)
+    trained_map = 0.0
+    for epoch in range(70):
+        for batch in it.epoch(epoch):
+            state, _ = step(state, batch, rng)
+        if epoch >= 34 and (epoch % 5 == 4):
+            trained_map = evaluate_ranker(score, state.params,
+                                          test_batches)["map"]
+            if trained_map >= 0.75:
+                break
+    assert trained_map >= 0.75, trained_map
+
+    eng = Engine(cfg, word_dict, state.params, beam_size=1,
+                 batch_bucket=16)
+    with_clicks = _served_map(eng, test, with_clicks=True)
+    without = _served_map(eng, test, with_clicks=False)
+    assert with_clicks >= 0.72, (with_clicks, without)
+    assert without <= 0.62, (with_clicks, without)
+    assert with_clicks - without >= 0.15, (with_clicks, without)
+
+
 def test_suggest_batch_recommender(tmp_path):
     """suggest_batch for the recommender family (flat-source seq2seq)."""
     from context_attentive_ir_tpu.data import build_dictionary, generate_sessions
