@@ -25,12 +25,42 @@ def greedy_decode(step_fn: StepFn, init_state, batch_size: int,
 
     ``min_length`` forbids EOS before that many real tokens (the same
     contract as ``beam_search``'s, so a beam_size=1 run honours the
-    configured ``min_decode_len``)."""
+    configured ``min_decode_len``).
+
+    FUSED-GENERATOR mode (same contract as ``beam_search``'s): ``step_fn``
+    may return ``(state, (vals [B, Kc], idx [B, Kc], lse [B]))`` -- the
+    per-row top-Kc RAW scores descending, their vocab ids, and the row
+    logsumexp, typically from ``ops.pallas.beamgen.generator_topk_lse``
+    so the ``[B, V]`` logits never exist in HBM.  Requires ``Kc >= 2``:
+    greedy blocks at most one token (EOS under ``min_length``), so the
+    best unblocked token is always within the top-2 -- exact."""
+    probe = step_fn(init_state, jnp.full((batch_size,), BOS, jnp.int32))
+    topk_mode = isinstance(probe[1], (tuple, list))
+    if topk_mode and probe[1][0].shape[-1] < 2:
+        raise ValueError(
+            "fused greedy step must provide at least 2 entries (one spare "
+            f"slot for a blocked EOS), got {probe[1][0].shape[-1]}")
 
     def body(carry, t):
         state, tokens, finished, total = carry
         out = step_fn(state, tokens)
-        state, logp = out[0], out[1]   # step may also return attention
+        state = out[0]
+        if topk_mode:
+            vals, idx, lse = out[1]
+            vals = vals.astype(jnp.float32)
+            lse = lse.astype(jnp.float32)
+            if min_length > 0:
+                block = (idx == EOS) & (t < min_length)
+                vals = jnp.where(block, NEG_INF, vals)
+            j = jnp.argmax(vals, axis=-1)
+            next_tok = jnp.take_along_axis(
+                idx, j[:, None], 1)[:, 0].astype(jnp.int32)
+            step_lp = jnp.take_along_axis(vals, j[:, None], 1)[:, 0] - lse
+            next_tok = jnp.where(finished, PAD, next_tok)
+            total = total + jnp.where(finished, 0.0, step_lp)
+            finished = finished | (next_tok == EOS)
+            return (state, next_tok, finished, total), next_tok
+        logp = out[1]                  # step may also return attention
         # steps may return raw logits (see decode/beam.py): normalize the
         # accumulated score with one logsumexp reduction (a no-op shift,
         # ~0, when the step already returns log-probs); computed BEFORE

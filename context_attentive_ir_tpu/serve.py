@@ -433,9 +433,24 @@ class Engine:
                     method=self.model.decode_step, **kw_k)
             return beam_search(step, state, rows, max_len, beam_size,
                                return_nbest=True)
-        step = lambda st, toks: self.model.apply(
-            var, st, toks, memory, memory_mask,
-            method=self.model.decode_step, **kwargs)
+        step = None
+        if not kwargs and jax.default_backend() == "tpu":
+            # greedy takes the same fused generator step at kc=2 (one
+            # spare slot covers a min_length-blocked EOS -- exact); the
+            # dispatch row is measured at the greedy row count
+            from .decode import make_fused_beam_step
+            from .models.base import compute_dtype
+            from .ops.dispatch import prefer_fused_generator
+
+            if prefer_fused_generator(rows, self.config.vocab_size,
+                                      self.config.emsize, 2):
+                step = make_fused_beam_step(
+                    self.model, var, params, memory, memory_mask, kc=2,
+                    dtype=compute_dtype(self.config))
+        if step is None:
+            step = lambda st, toks: self.model.apply(
+                var, st, toks, memory, memory_mask,
+                method=self.model.decode_step, **kwargs)
         seqs, scores = greedy_decode(step, state, rows, max_len)
         return seqs[:, None], scores[:, None]
 

@@ -1614,8 +1614,12 @@ def dispatch_table_beamgen():
                         fused_ms=round(best[0], 3),
                         xla_ms=round(xla_ms, 3),
                         block_r=best[1], block_v=best[2]))
+    # keep beam_gen rows at other (kc, rows) keys: a `dispatch_table_
+    # beamgen 2` run must not discard the measured kc=6 beam row
+    fresh = {(x["kc"], x["rows"], x["v"], x["e"]) for x in new}
     merged = [e for e in dispatch._load_table()
-              if e.get("kind") != "beam_gen"] + new
+              if e.get("kind") != "beam_gen"
+              or (e["kc"], e["rows"], e["v"], e["e"]) not in fresh] + new
     dispatch.write_table(merged)
     print(json.dumps({"exp": "dispatch_table_beamgen",
                       "written": str(dispatch.TABLE_PATH),
@@ -1670,6 +1674,52 @@ def beam_fused_e2e():
           flush=True)
 
 
+def greedy_fused_e2e():
+    """END-TO-END A/B for the fused generator step under GREEDY decode
+    (kc=2; decode/greedy.py fused mode): full CARS greedy suggestion at
+    the bench shape, logits step vs fused Pallas step, plus on-chip
+    decoded-output parity.  The matching dispatch row comes from
+    ``dispatch_table_beamgen 2`` (rows=320 = the greedy row count)."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (greedy_decode,
+                                                 make_fused_beam_step)
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+
+    def run(fused):
+        def impl(params, batch):
+            var = {"params": params}
+            state, memory, memory_mask = model.apply(
+                var, batch, method=model.decode_init)
+            rows = memory.shape[0]
+            if fused:
+                step = make_fused_beam_step(model, var, params, memory,
+                                            memory_mask, kc=2)
+            else:
+                step = lambda st, toks: model.apply(
+                    var, st, toks, memory, memory_mask,
+                    method=model.decode_step)
+            return greedy_decode(step, state, rows, 16)
+        return jax.jit(impl)
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=10),
+                   timed(fn, *args, warmup=0, iters=10))
+
+    for fused in (False, True):
+        ms = timed2(run(fused), params, batch)
+        report("greedy_fused_e2e", ms, fused=fused,
+               qps=round(64 * 5 / ms, 1))
+    s1, sc1 = jax.device_get(run(False)(params, batch))
+    s2, sc2 = jax.device_get(run(True)(params, batch))
+    mismatch = int((np.asarray(s1) != np.asarray(s2)).sum())
+    print(json.dumps({"exp": "greedy_fused_e2e", "seq_mismatch": mismatch,
+                      "score_max_diff": float(np.max(np.abs(
+                          np.asarray(sc1) - np.asarray(sc2))))}),
+          flush=True)
+
+
 if __name__ == "__main__":
     # watchdog was armed before `import jax` (top of file); disarm once
     # backend init + one tiny fenced op complete
@@ -1693,4 +1743,5 @@ if __name__ == "__main__":
      "scale_bucketing": scale_bucketing,
      "dispatch_table_beamgen": dispatch_table_beamgen,
      "beam_fused_e2e": beam_fused_e2e,
+     "greedy_fused_e2e": greedy_fused_e2e,
      "dispatch_table": dispatch_table}[exp]()

@@ -146,3 +146,50 @@ def test_cars_decode_step_fused_matches_decode_step():
     for a, b in zip(jax.tree_util.tree_leaves(st1),
                     jax.tree_util.tree_leaves(st2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_greedy_decode_fused_step_mode_matches_logits_mode():
+    """greedy_decode accepts the same fused (vals, idx, lse) step contract
+    as beam_search (kc=2: one spare slot covers a min_length-blocked EOS)
+    and must emit identical tokens and scores."""
+    from context_attentive_ir_tpu.decode import greedy_decode
+
+    rng = np.random.RandomState(7)
+    B, V, E, T = 6, 97, 32, 7
+    table = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(E, E)).astype(np.float32) * 0.3)
+    emb = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32) * 0.5)
+
+    def proj_of(state, tokens):
+        h = state["h"] * 0.9 + jnp.take(emb, tokens, axis=0)
+        return {"h": h}, jnp.tanh(h @ w)
+
+    def step_logits(state, tokens):
+        state, p = proj_of(state, tokens)
+        return state, p @ table.T
+
+    def step_fused(state, tokens):
+        state, p = proj_of(state, tokens)
+        return state, generator_topk_lse(p, table.T, 2, block_r=8,
+                                         block_v=32, interpret=True)
+
+    init = {"h": jnp.asarray(rng.normal(size=(B, E)).astype(np.float32))}
+    for min_len in (0, 3):
+        s1, sc1 = greedy_decode(step_logits, init, B, T,
+                                min_length=min_len)
+        s2, sc2 = greedy_decode(step_fused, init, B, T,
+                                min_length=min_len)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
+                                   atol=1e-5)
+
+
+def test_greedy_decode_fused_step_requires_two_slots():
+    from context_attentive_ir_tpu.decode import greedy_decode
+
+    def step(state, tokens):
+        return state, (jnp.zeros((2, 1)), jnp.zeros((2, 1), jnp.int32),
+                       jnp.zeros((2,)))
+
+    with pytest.raises(ValueError, match="at least 2"):
+        greedy_decode(step, jnp.zeros((2, 4)), 2, 4)
