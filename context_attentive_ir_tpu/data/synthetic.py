@@ -567,3 +567,79 @@ def write_click_keyed_suggestion_fixture(path: str | Path,
         for sess in generate_click_keyed_suggestion_sessions(**kwargs):
             f.write(json.dumps(sess) + "\n")
     return path
+
+
+# ---------------------------------------------------------------------------
+# AOL-scale rehearsal corpus (VERDICT r3 next-round #8)
+# ---------------------------------------------------------------------------
+# Same planted structure as the topic corpus above, but at real-AOL scale
+# knobs: ~100k vocab, sessions up to 10 turns, slate 50, >=10k sessions.
+# This is the dress rehearsal for the day the real AOL splits appear
+# (SURVEY.md SS6 / SS7 hard part (a)): it exercises the HOST pipeline
+# (streaming read, fastvec vectorization, bucketing) and the 100k-row
+# tied-embedding generator at production shapes, not oracle separation.
+# Tokens are "t<i>w<j>" so vocab size is exactly n_topics*words_per_topic.
+
+
+def generate_aol_scale_sessions(
+    n_sessions: int = 10_000,
+    n_topics: int = 2_500,
+    words_per_topic: int = 40,
+    min_turns: int = 1,
+    max_turns: int = 10,
+    n_candidates: int = 50,
+    seed: int = 0,
+):
+    """Yields sessions (a generator -- 10k sessions x 50-doc slates is
+    ~2.7M documents; callers stream to disk rather than hold the list)."""
+    rng = np.random.RandomState(seed)
+    for s in range(n_sessions):
+        topic = int(rng.randint(n_topics))
+        n_turns = int(rng.randint(min_turns, max_turns + 1))
+        # one vectorized draw per session covers every topic-word slot:
+        # queries extend a growing base (suggestion signal), clicked docs
+        # extend their query (rank signal), distractors come from other
+        # topics drawn in one batch below
+        base = rng.randint(words_per_topic, size=2 + max_turns + 1)
+        queries = []
+        for t in range(n_turns):
+            q_ids = base[: 2 + t]
+            q_tokens = [f"t{topic}w{w}" for w in q_ids]
+            n_clicked = 1 + int(rng.rand() < 0.2)
+            click_pos = set(rng.permutation(n_candidates)[:n_clicked]
+                            .tolist())
+            d_topics = rng.randint(n_topics, size=(n_candidates, 7))
+            d_words = rng.randint(words_per_topic, size=(n_candidates, 7))
+            d_lens = rng.randint(3, 8, size=n_candidates)
+            extra = rng.randint(1, 4, size=n_candidates)
+            cands = []
+            for c in range(n_candidates):
+                if c in click_pos:
+                    doc = q_tokens + [f"t{topic}w{w}"
+                                      for w in d_words[c, : extra[c]]]
+                    label = 1
+                else:
+                    doc = [f"t{tt}w{w}" for tt, w in
+                           zip(d_topics[c, : d_lens[c]],
+                               d_words[c, : d_lens[c]])]
+                    label = 0
+                cands.append({"id": f"d{s}_{t}_{c}",
+                              "title": " ".join(doc), "label": label})
+            queries.append({"id": f"q{s}_{t}", "text": " ".join(q_tokens),
+                            "candidates": cands})
+        yield {"session_id": f"s{s}", "query": queries}
+
+
+def aol_scale_vocab(n_topics: int = 2_500,
+                    words_per_topic: int = 40) -> list[str]:
+    return [f"t{t}w{w}" for t in range(n_topics)
+            for w in range(words_per_topic)]
+
+
+def write_aol_scale_fixture(path: str | Path, **kwargs) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for sess in generate_aol_scale_sessions(**kwargs):
+            f.write(json.dumps(sess) + "\n")
+    return path

@@ -1,0 +1,155 @@
+"""AOL-scale dress rehearsal: one command, production-shaped end to end.
+
+VERDICT r3 next-round #8 / SURVEY.md SS6 + SS7 hard part (a): real AOL is
+not on this machine, so this rehearses the exact pipeline that would run
+the day it appears -- at AOL scale knobs rather than test-fixture dims:
+
+  vocab ~100k (2500 topics x 40 words), >=10k train sessions, S <= 10,
+  slate 50, session_buckets on, CARS at production dims (E=256, H=128).
+
+One command drives: generate -> load -> build dict -> train (epoch 0) ->
+checkpoint -> NEW process-equivalent Trainer resume=True (epoch 1) ->
+test from best with beam-3 BLEU + rank metrics.  Wall time for every
+phase plus HOST pipeline throughput (a device-free pass over the
+bucketed train iterator) are printed as one JSON line and appended to
+RESULTS.md.
+
+Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo \
+  JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu \
+  timeout 5400 python scripts/aol_rehearsal.py [--sessions 10000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from context_attentive_ir_tpu.config import RunConfig, default_config  # noqa: E402
+from context_attentive_ir_tpu.data import build_dictionary, load_data  # noqa: E402
+from context_attentive_ir_tpu.data.synthetic import (  # noqa: E402
+    write_aol_scale_fixture,
+)
+from context_attentive_ir_tpu.train import Trainer  # noqa: E402
+from context_attentive_ir_tpu.train.trainer import make_iterator  # noqa: E402
+from context_attentive_ir_tpu.utils import setup_logging  # noqa: E402
+
+DIMS = dict(emsize=256, nhid=128, nhid_ffnn=256, max_query_len=12,
+            max_doc_len=16, max_session_len=10, num_candidates=50,
+            compute_dtype="bfloat16")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sessions", type=int, default=10_000)
+    ap.add_argument("--data_dir", default="/tmp/aol_scale")
+    ap.add_argument("--batch_size", type=int, default=32)
+    args = ap.parse_args()
+    setup_logging()
+    data = Path(args.data_dir)
+    t_all = time.time()
+    timings: dict[str, float] = {}
+
+    def mark(name, t0):
+        timings[name] = round(time.time() - t0, 1)
+        print(f"[rehearsal] {name}: {timings[name]}s", flush=True)
+
+    t0 = time.time()
+    n_dev = max(32, args.sessions // 50)
+    n_test = max(64, args.sessions // 25)
+    if not (data / "train.jsonl").exists():
+        write_aol_scale_fixture(data / "train.jsonl",
+                                n_sessions=args.sessions, seed=0)
+        write_aol_scale_fixture(data / "dev.jsonl", n_sessions=n_dev, seed=1)
+        write_aol_scale_fixture(data / "test.jsonl", n_sessions=n_test,
+                                seed=2)
+    mark("generate", t0)
+
+    base = default_config("cars").replace(**DIMS)
+    t0 = time.time()
+    load = lambda p: load_data(p, base.max_query_len, base.max_doc_len,
+                               base.num_candidates, base.max_session_len)
+    train, dev, test = (load(data / f"{s}.jsonl")
+                        for s in ("train", "dev", "test"))
+    mark("load", t0)
+
+    t0 = time.time()
+    streams = [q.tokens for s in train for q in s.queries]
+    streams += [d.tokens for s in train for q in s.queries
+                for d in q.documents]
+    word_dict = build_dictionary(streams)
+    mark("build_dict", t0)
+    cfg = base.replace(vocab_size=len(word_dict))
+    print(f"[rehearsal] vocab={len(word_dict)} train_sessions={len(train)}",
+          flush=True)
+
+    run = RunConfig(model_dir=str(data / "runs"), model_name="cars_aol",
+                    batch_size=args.batch_size,
+                    test_batch_size=args.batch_size, num_epochs=1,
+                    display_iter=100, early_stop=4, valid_metric="map",
+                    beam_size=3, seed=1013, resume=True,
+                    session_buckets=(2, 4, 10))
+
+    # host-only pipeline throughput: one device-free pass over the bucketed
+    # train iterator (fastvec vectorization + pad-and-stack), no TPU work
+    t0 = time.time()
+    tr = Trainer(cfg, run, word_dict, pretrained=None)
+    it = make_iterator(train, cfg, word_dict, run.batch_size, shuffle=True,
+                       seed=0, fast=tr.fast,
+                       session_buckets=run.session_buckets)
+    n_docs = n_batches = 0
+    for b in it.epoch(0):
+        n_batches += 1
+        n_docs += int(b.doc_mask.any(axis=-1).sum())
+    mark("host_pipeline_pass", t0)
+    host_docs_per_sec = round(n_docs / timings["host_pipeline_pass"], 1)
+    print(f"[rehearsal] host pipeline: {n_batches} batches, {n_docs} real "
+          f"docs, {host_docs_per_sec} docs/s host-only", flush=True)
+
+    # phase A: epoch 0 + checkpoint
+    t0 = time.time()
+    tr.fit(train, dev)
+    mark("train_epoch0", t0)
+
+    # phase B: fresh Trainer (as if a new process), resume=True -> epoch 1
+    t0 = time.time()
+    tr2 = Trainer(cfg, run.replace(num_epochs=2), word_dict, pretrained=None)
+    fitres = tr2.fit(train, dev)
+    assert tr2.start_epoch == 1, (
+        f"resume failed: start_epoch={tr2.start_epoch}")
+    mark("train_epoch1_resumed", t0)
+
+    # phase C: test from best, beam-3 suggestion BLEU + rank metrics
+    t0 = time.time()
+    res = tr2.test(test)
+    mark("test_beam3", t0)
+    timings["total"] = round(time.time() - t_all, 1)
+
+    summary = {"exp": "aol_rehearsal", "vocab": len(word_dict),
+               "train_sessions": len(train),
+               "host_docs_per_sec": host_docs_per_sec,
+               "timings_s": timings, "resumed_at_epoch": tr2.start_epoch,
+               "best_valid_map": round(fitres["best_valid"], 4),
+               "test": {k: round(v, 4) for k, v in res.items()
+                        if isinstance(v, (int, float))}}
+    print(json.dumps(summary), flush=True)
+    with open(ROOT / "RESULTS.md", "a") as f:
+        f.write("\n## AOL-scale dress rehearsal (round 4)\n\n"
+                "One command (`python scripts/aol_rehearsal.py`): generate "
+                f"{len(train)} sessions\n(vocab {len(word_dict)}, S<=10, "
+                "slate 50) -> train CARS epoch 0 -> checkpoint ->\n"
+                "fresh-Trainer resume -> epoch 1 -> test from best with "
+                "beam-3 decode.\nBucketed (2,4,10); host pipeline measured "
+                "device-free.\n\n```\n" + json.dumps(summary, indent=1)
+                + "\n```\n")
+    print("appended RESULTS.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

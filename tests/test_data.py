@@ -247,3 +247,43 @@ def test_suggest_source_truncates_like_context(word_dict):
     # the newest turn's ids are present at the end of the source
     ids = [word_dict[t] for t in toks[6:8]]
     assert b.source[0, 3:5].tolist() == ids
+
+
+def test_aol_scale_generator_structure():
+    """AOL-scale rehearsal corpus (scripts/aol_rehearsal.py, VERDICT r3
+    #8): streaming generator, S<=10 turns, slate 50, clicked docs extend
+    their query (overlap rule), distractor tokens come from the planted
+    t<i>w<j> vocab, and next queries extend the previous (suggestion
+    signal)."""
+    from context_attentive_ir_tpu.data.synthetic import (
+        aol_scale_vocab,
+        generate_aol_scale_sessions,
+    )
+
+    gen = generate_aol_scale_sessions(n_sessions=30, n_topics=50,
+                                      words_per_topic=10, seed=3)
+    assert not isinstance(gen, list)  # streams; 10k x 50 docs never held
+    vocab = set(aol_scale_vocab(n_topics=50, words_per_topic=10))
+    assert len(vocab) == 500
+    n_turns_seen = set()
+    for sess in gen:
+        qs = sess["query"]
+        assert 1 <= len(qs) <= 10
+        n_turns_seen.add(len(qs))
+        for t, q in enumerate(qs):
+            q_tokens = q["text"].split()
+            assert set(q_tokens) <= vocab
+            assert len(q["candidates"]) == 50
+            n_clicked = 0
+            for c in q["candidates"]:
+                d_tokens = c["title"].split()
+                assert set(d_tokens) <= vocab
+                if c["label"] == 1:
+                    n_clicked += 1
+                    # clicked doc = query tokens + same-topic extras
+                    assert d_tokens[: len(q_tokens)] == q_tokens
+            assert n_clicked >= 1
+            if t > 0:
+                prev = qs[t - 1]["text"].split()
+                assert q_tokens[: len(prev)] == prev  # prefix extension
+    assert max(n_turns_seen) > 5  # long sessions actually occur
