@@ -179,8 +179,10 @@ class RNNLayer(nn.Module):
             return False
         # Kernel-vs-scan choice comes from the on-chip-measured dispatch
         # table (ops/dispatch.py; regenerated by scripts/tpu_experiments
-        # dispatch_table).  Training always prefers the kernel pair -- the
-        # chunked-remat backward is the dominant measured win (PERF.md).
+        # dispatch_table).  Training defaults to the kernel pair (the
+        # chunked-remat backward is the dominant measured win, PERF.md)
+        # unless a measured mode="train" row at the shape says otherwise
+        # (round 4: the T=15/2000-row family is such an exception).
         from .dispatch import prefer_kernel
 
         e = self.in_features or x.shape[-1]
