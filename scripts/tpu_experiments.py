@@ -804,8 +804,10 @@ def dispatch_table():
                 report("dispatch_lstm_train", ktr / 1e3, rows=rows, t=t_,
                        e=e_, dtype=dt_, scan_ms=round(str_, 3))
 
-            if not default_family:
-                continue  # GRU support points only at the bench family
+            if not default_family and os.environ.get("DISPATCH_GRU") != "1":
+                continue  # GRU defaults to the bench family; DISPATCH_GRU=1
+                # extends it to the selected shapes (VERDICT r3 #4: >=2
+                # measured families per kind)
             w_ih3 = jnp.asarray(rng.normal(size=(ep, 3 * h_)) * 0.1,
                                 dtype)
             b_ih3 = jnp.asarray(rng.normal(size=(3 * h_,)) * 0.1, dtype)
@@ -970,7 +972,7 @@ def score_e2e():
                                method=model.score)
 
         ms = timed(score, params, batch, warmup=3, iters=20)
-        docs = 64 * 5 * 50
+        docs = bench_mod.B * bench_mod.S * bench_mod.N
         report("score_e2e", ms, use_pallas_rnn=use_pallas,
                docs_per_sec=round(docs / ms, 1))
 
@@ -1070,7 +1072,7 @@ def train_e2e():
             s, m = step(s, batch, rng)
         jax.device_get(m["loss"])
         ms = (time.perf_counter() - t0) / iters
-        docs = 64 * 5 * 50
+        docs = bench_mod.B * bench_mod.S * bench_mod.N
         report("train_e2e", ms, use_pallas_rnn=use_pallas, rnn_type=rnn,
                docs_per_sec=round(docs / ms, 1))
 
@@ -1226,7 +1228,8 @@ def train_parts():
     parts["fix_emb"] = run_full(cfg_f, build_model(cfg_f), batch, "fix_emb")
     print(json.dumps({"exp": "train_parts", "deltas_ms": {
         "backward": round((parts["grads_only"] - parts["fwd_only"]) * 1e3, 2),
-        "adam_apply": round((parts["full"] - parts["grads_only"]) * 1e3, 2),
+        "clip_adam_apply": round(
+            (parts["full"] - parts["grads_only"]) * 1e3, 2),
         "emb_grad": round((parts["full"] - parts["fix_emb"]) * 1e3, 2),
     }}), flush=True)
 
@@ -1314,7 +1317,9 @@ def indexed():
     rng = np.random.RandomState(0)
     states = jnp.asarray(rng.normal(size=(n_corpus, Ld, h2)) * 0.5,
                          jnp.bfloat16)
-    idx = jnp.asarray(rng.randint(0, n_corpus, size=(64, 50)), jnp.int32)
+    idx = jnp.asarray(rng.randint(0, n_corpus,
+                                  size=(bench_mod.B, bench_mod.N)),
+                      jnp.int32)
 
     @jax.jit
     def proj_of(params, states):
@@ -1340,7 +1345,8 @@ def indexed():
         ms = timed(score, params, batch, states, idx,
                    proj if with_proj else None)
         report("rank_indexed", ms, cached_pool_proj=with_proj,
-               docs_per_sec=round(64 * 5 * 50 / ms, 1))
+               docs_per_sec=round(
+                   bench_mod.B * bench_mod.S * bench_mod.N / ms, 1))
 
     run(False)
     run(True)
@@ -1674,6 +1680,98 @@ def beam_fused_e2e():
           flush=True)
 
 
+def beam_parts_fused():
+    """Post-beamgen decomposition of the fused beam-5 decode (the 30.5 ms
+    e2e step, PERF.md r4 #1): decode_init, a 16-step scan of the model
+    side alone (decode_step_fused: decoder LSTM cell + attention + input
+    feed, no generator), a 16-step scan of the generator kernel alone on
+    a fixed projection, and the full fused beam_search.  full - init -
+    model - kernel ~= beam bookkeeping (top-k over [B, K*(K+1)], state
+    reorder gathers, finished/length masks) + scheduling interaction.
+    Same caveats as score_parts: prefixes/parts are same-process jitted
+    programs, not a profiler trace; deltas are attribution, not gospel."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (beam_search,
+                                                 make_fused_beam_step)
+    from context_attentive_ir_tpu.ops.pallas.beamgen import (
+        generator_topk_lse,
+    )
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+    var = {"params": params}
+    K, kc = 5, 6
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=10),
+                   timed(fn, *args, warmup=0, iters=10))
+
+    @jax.jit
+    def init_only(params, batch):
+        return model.apply({"params": params}, batch,
+                           method=model.decode_init)
+
+    init_ms = timed2(init_only, params, batch) * 1e3
+    report("beam_parts_fused", init_ms / 1e3, stage="decode_init")
+
+    state, memory, memory_mask = init_only(params, batch)
+    rows = memory.shape[0]
+    rep = lambda x: jnp.repeat(x, K, axis=0)
+    mem_k, mask_k = rep(memory), rep(memory_mask)
+
+    @jax.jit
+    def model_scan(params, state):
+        var = {"params": params}
+        toks = jnp.full((rows * K,), 2, jnp.int32)
+
+        def step(st, _):
+            st, proj, _ = model.apply(var, st, toks, mem_k, mask_k,
+                                      method=model.decode_step_fused)
+            return st, proj.sum()
+        st = jax.tree_util.tree_map(lambda x: jnp.repeat(x, K, axis=0),
+                                    state)
+        _, outs = jax.lax.scan(step, st, jnp.arange(16))
+        return outs
+
+    model_ms = timed2(model_scan, params, state) * 1e3
+    report("beam_parts_fused", model_ms / 1e3, stage="model_steps_16")
+
+    table_t = params["embeddings"]["embedding"].T.astype(jnp.bfloat16)
+    proj = jnp.zeros((rows * K, table_t.shape[0]), jnp.bfloat16)
+
+    @jax.jit
+    def kernel_scan(proj, table_t):
+        def step(carry, _):
+            v, i, l = generator_topk_lse(proj, table_t, kc)
+            return carry, v.sum() + i.sum() + l.sum()
+        _, outs = jax.lax.scan(step, jnp.float32(0), jnp.arange(16))
+        return outs
+
+    kern_ms = timed2(kernel_scan, proj, table_t) * 1e3
+    report("beam_parts_fused", kern_ms / 1e3, stage="generator_kernel_16")
+
+    @jax.jit
+    def full(params, batch):
+        var = {"params": params}
+        state, memory, memory_mask = model.apply(
+            var, batch, method=model.decode_init)
+        mem_k, mask_k = rep(memory), rep(memory_mask)
+        step = make_fused_beam_step(model, var, params, mem_k, mask_k,
+                                    kc=kc)
+        return beam_search(step, state, rows, 16, K)
+
+    full_ms = timed2(full, params, batch) * 1e3
+    resid = full_ms - init_ms - model_ms - kern_ms
+    report("beam_parts_fused", full_ms / 1e3, stage="full_beam5",
+           residual_beam_logic_ms=round(resid, 3))
+    print(json.dumps({"exp": "beam_parts_fused", "attribution": {
+        "decode_init": round(init_ms, 3),
+        "model_steps_16": round(model_ms, 3),
+        "generator_kernel_16": round(kern_ms, 3),
+        "full_beam5": round(full_ms, 3),
+        "residual_beam_logic": round(resid, 3)}}), flush=True)
+
+
 def greedy_fused_e2e():
     """END-TO-END A/B for the fused generator step under GREEDY decode
     (kc=2; decode/greedy.py fused mode): full CARS greedy suggestion at
@@ -1744,4 +1842,5 @@ if __name__ == "__main__":
      "dispatch_table_beamgen": dispatch_table_beamgen,
      "beam_fused_e2e": beam_fused_e2e,
      "greedy_fused_e2e": greedy_fused_e2e,
+     "beam_parts_fused": beam_parts_fused,
      "dispatch_table": dispatch_table}[exp]()
