@@ -44,11 +44,122 @@ def _tile_beam(tree, beam_size: int):
 
 def _gather_beams(tree, parent: jnp.ndarray, batch_size: int,
                   beam_size: int):
-    """Reindex leaves [B*K, ...] by parent beam ids [B, K]."""
+    """Reindex leaves [B*K, ...] by parent beam ids [B, K] (gather)."""
     offsets = jnp.arange(batch_size)[:, None] * beam_size
     flat_idx = (parent + offsets).reshape(-1)
     return jax.tree_util.tree_map(
         lambda x: jnp.take(x, flat_idx, axis=0), tree)
+
+
+def _select_slots(x: jnp.ndarray, parent: jnp.ndarray):
+    """``x[b, parent[b, k], ...]`` as a one-hot select+sum (no gather op).
+
+    ``x [B, K, ...]``, ``parent [B, K]`` -> ``[B, K, ...]``.  A beam
+    reorder is a within-group permutation-with-repeats over K <= ~10
+    slots; expressing it as ``sum_j where(parent==j, x_j, 0)`` compiles
+    to a fused VPU select-reduce (reads each source row K times) instead
+    of a row-gather, whose per-descriptor DMA cost dominates at these
+    sizes (PERF.md r3 ledger #7: ~34 ns/row).  Exact for every dtype --
+    no arithmetic touches the selected values.
+    """
+    K = x.shape[1]
+    hot = parent[..., None] == jnp.arange(K, dtype=parent.dtype)  # [B,K,K]
+    hot = hot.reshape(hot.shape + (1,) * (x.ndim - 2))
+    zero = jnp.zeros((), x.dtype)
+    return jnp.where(hot, x[:, None], zero).sum(axis=2).astype(x.dtype)
+
+
+def _select_beam_tree(tree, parent: jnp.ndarray, batch_size: int,
+                      beam_size: int):
+    """``_gather_beams`` semantics via ``_select_slots`` on every leaf."""
+    def sel(x):
+        xs = x.reshape((batch_size, beam_size) + x.shape[1:])
+        return _select_slots(xs, parent).reshape(x.shape)
+
+    return jax.tree_util.tree_map(sel, tree)
+
+
+def _iter_topk(flat: jnp.ndarray, payload: jnp.ndarray, k: int):
+    """Exact top-``k`` over the last axis of ``flat [B, C]`` by ``k``
+    masked max/min reduction passes -- the same selection loop the
+    beamgen kernel runs in VMEM (ops/pallas/beamgen.py), here replacing
+    XLA's sort-based ``lax.top_k`` for the tiny [B, K*(K+1)] beam merge.
+
+    Matches ``lax.top_k`` tie semantics exactly (descending values,
+    ties broken by ascending index): each pass takes the row max over
+    not-yet-taken lanes and retires the smallest-index hit.  Retirement
+    is a boolean ``taken`` mask rather than overwriting the lane with a
+    finite sentinel -- genuine lane values can sit below any finite
+    sentinel (e.g. ``NEG_INF + logp`` accumulations on dead beams), and
+    a sentinel would then let a retired lane win again, emitting a
+    duplicate index where ``lax.top_k`` returns distinct ones.
+    ``payload [B, C]`` rides along -- the winning lane's payload is
+    extracted by the same one-hot mask, so the caller needs no
+    follow-up ``take_along_axis``.  Returns
+    ``(vals [B, k], idx [B, k] i32, pay [B, k])``.
+
+    Sole divergence from ``lax.top_k``: ``-0.0`` vs ``+0.0`` ties
+    (top_k's total order ranks ``+0.0`` higher; ``==`` treats them
+    equal, so this picks the lower index).  Beam totals are sums of
+    log-probs, where a signed-zero tie between DISTINCT lanes means two
+    exactly-equal-scored hypotheses -- either pick is a correct beam.
+    """
+    C = flat.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 1)
+    ninf = jnp.array(-jnp.inf, flat.dtype)
+    taken = jnp.zeros(flat.shape, bool)
+    vals, idxs, pays = [], [], []
+    for _ in range(k):
+        live = jnp.where(taken, ninf, flat)
+        m = jnp.max(live, -1, keepdims=True)
+        # ``& ~taken`` matters only when m == -inf (all remaining lanes
+        # -inf): retired lanes also read -inf in ``live`` and would tie
+        ci = jnp.min(jnp.where((live == m) & ~taken, col, C), -1,
+                     keepdims=True)
+        sel = col == ci
+        pays.append(jnp.sum(jnp.where(sel, payload, 0), -1, keepdims=True))
+        taken = taken | sel
+        vals.append(m)
+        idxs.append(ci)
+    return (jnp.concatenate(vals, -1), jnp.concatenate(idxs, -1),
+            jnp.concatenate(pays, -1))
+
+
+def _reconstruct_seqs(toks: jnp.ndarray, parents: jnp.ndarray):
+    """Rebuild ``[B, K, T]`` sequences from per-step ``(token [B, K],
+    backpointer [B, K])`` pairs by one reverse scan.
+
+    The in-loop alternative -- reorder + scatter of the full
+    ``[B, K, max_len]`` buffer every step -- was part of the measured
+    beam-bookkeeping residual (PERF.md r4 #5); the backpointer chain
+    moves that work out of the hot loop into T tiny [B, K] selects.
+    Emitted tokens are already PAD on frozen beams (``i1`` is masked to
+    PAD before the merge), so no finished-mask is needed here.
+    Bit-identical to the carried buffer by induction on the chain.
+    """
+    def back(cur, xs):
+        tok_t, par_t = xs
+        return _select_slots(par_t, cur), _select_slots(tok_t, cur)
+
+    B, K = toks.shape[1], toks.shape[2]
+    k0 = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None], (B, 1))
+    _, rev = jax.lax.scan(back, k0, (toks, parents), reverse=True)
+    return jnp.moveaxis(rev, 0, 2)
+
+
+def _resolve_bookkeeping(method: str, rows: int, k: int) -> str:
+    """Resolve ``auto`` at trace time via the on-chip-measured dispatch
+    table (ops/dispatch.py, same policy as the RNN and top-k choices):
+    the sort-free/gather-free bookkeeping only on TPU and only where
+    measured faster; the ``lax.top_k`` + gather formulation elsewhere
+    and for every unmeasured shape.  Both are bit-identical."""
+    if method != "auto":
+        return method
+    if jax.default_backend() != "tpu":
+        return "legacy"
+    from ..ops.dispatch import prefer_fused_bookkeeping
+
+    return "fused" if prefer_fused_bookkeeping(rows, k) else "legacy"
 
 
 def _chunk_count(v: int, kc: int) -> int:
@@ -112,7 +223,7 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
                 min_length: int = 0, length_penalty: str = "wu",
                 coverage_beta: float = 0.0, coverage_penalty: str = "wu",
                 cov_mask: jnp.ndarray | None = None,
-                topk_method: str = "auto"):
+                topk_method: str = "auto", bookkeeping: str = "auto"):
     """Returns (best tokens [B, max_len], best score [B]); with
     ``return_nbest`` instead returns the full beams ([B, K, max_len],
     [B, K]) sorted by normalized score -- the reference beam's n-best
@@ -134,6 +245,15 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     ``Kc >= K + 1`` (same exactness argument as the per-beam top-(K+1)
     below) and is detected from the probe's structure; coverage
     penalties need full-attn steps and stay on the logits mode.
+
+    ``bookkeeping`` selects the per-step beam-logic formulation --
+    ``legacy`` (``lax.top_k`` merge + row-gather reorders + carried
+    sequence buffer) or ``fused`` (iterative masked-max merge with the
+    token payload riding along, one-hot select+sum reorders, and
+    post-scan backpointer sequence reconstruction).  Both are
+    bit-identical; ``auto`` consults the on-chip-measured dispatch
+    table (the bookkeeping was measured as 2/3 of the fused beam-5
+    decode step, PERF.md r4 #5).
     """
     B, K = batch_size, beam_size
     state = _tile_beam(init_state, K)
@@ -149,6 +269,8 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
             f"{probe[1][0].shape[-1]} (exactness needs one spare slot for "
             "a blocked EOS, like the per-beam top-(K+1))")
 
+    use_fused_bk = _resolve_bookkeeping(bookkeeping, B * K, K) == "fused"
+
     tokens = jnp.full((B, K), BOS, jnp.int32)
     # only beam 0 is live initially so the first top-k doesn't pick K copies
     logps = jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1)), (B, 1))
@@ -157,7 +279,10 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     seqs = jnp.full((B, K, max_len), PAD, jnp.int32)
 
     def body(carry, t):
-        state, tokens, logps, finished, lengths, seqs, cov = carry
+        if use_fused_bk:
+            state, tokens, logps, finished, lengths, cov = carry
+        else:
+            state, tokens, logps, finished, lengths, seqs, cov = carry
         out = step_fn(state, tokens.reshape(B * K))
         state = out[0]
         if topk_mode:
@@ -196,31 +321,53 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
             logp_top = jnp.where(block, NEG_INF, logp_top)
         total = logps[..., None] + logp_top                   # [B, K, Kc]
         flat = total.reshape(B, K * Kc)
-        top_logp, top_idx = jax.lax.top_k(flat, K)            # [B, K]
-        parent = top_idx // Kc
-        tok = jnp.take_along_axis(i1.reshape(B, K * Kc), top_idx, axis=1)
-        state = _gather_beams(state, parent, B, K)
-        take = lambda x: jnp.take_along_axis(x, parent, axis=1)
+        if use_fused_bk:
+            # sort-free merge; the winning token rides along as payload
+            top_logp, top_idx, tok = _iter_topk(
+                flat, i1.reshape(B, K * Kc), K)               # [B, K] x3
+            parent = top_idx // Kc
+            state = _select_beam_tree(state, parent, B, K)
+            take = lambda x: _select_slots(x, parent)
+        else:
+            top_logp, top_idx = jax.lax.top_k(flat, K)        # [B, K]
+            parent = top_idx // Kc
+            tok = jnp.take_along_axis(i1.reshape(B, K * Kc), top_idx,
+                                      axis=1)
+            state = _gather_beams(state, parent, B, K)
+            take = lambda x: jnp.take_along_axis(x, parent, axis=1)
         finished_p = take(finished)
         lengths_p = take(lengths)
-        seqs_p = jnp.take_along_axis(seqs, parent[..., None], axis=1)
         still = ~finished_p
         lengths_n = lengths_p + still.astype(jnp.int32)
         finished_n = finished_p | (tok == EOS)
-        seqs_n = seqs_p.at[:, :, t].set(jnp.where(still, tok, PAD))
         if cov is not None:
             attn = out[2].reshape(B, K, -1)
-            cov_p = jnp.take_along_axis(cov, parent[..., None], axis=1)
+            cov_p = (_select_slots(cov, parent) if use_fused_bk else
+                     jnp.take_along_axis(cov, parent[..., None], axis=1))
             cov = cov_p + attn * still[..., None].astype(attn.dtype)
+        if use_fused_bk:
+            # sequences are NOT carried: emit (token, backpointer) and
+            # rebuild after the scan instead of reordering + scattering
+            # the [B, K, max_len] buffer every step
+            return (state, tok, top_logp, finished_n, lengths_n,
+                    cov), (tok, parent)
+        seqs_p = jnp.take_along_axis(seqs, parent[..., None], axis=1)
+        seqs_n = seqs_p.at[:, :, t].set(jnp.where(still, tok, PAD))
         return (state, tok, top_logp, finished_n, lengths_n, seqs_n,
                 cov), None
 
     cov0 = None
     if has_attn and coverage_beta > 0:
         cov0 = jnp.zeros((B, K, probe[2].shape[-1]), jnp.float32)
-    carry = (state, tokens, logps, finished, lengths, seqs, cov0)
-    (state, tokens, logps, finished, lengths, seqs, cov), _ = jax.lax.scan(
-        body, carry, jnp.arange(max_len))
+    if use_fused_bk:
+        carry = (state, tokens, logps, finished, lengths, cov0)
+        (state, tokens, logps, finished, lengths, cov), ys = jax.lax.scan(
+            body, carry, jnp.arange(max_len))
+        seqs = _reconstruct_seqs(*ys)
+    else:
+        carry = (state, tokens, logps, finished, lengths, seqs, cov0)
+        (state, tokens, logps, finished, lengths, seqs, cov), _ = (
+            jax.lax.scan(body, carry, jnp.arange(max_len)))
 
     # rank by length-normalized score; prefer finished hypotheses
     lp = LENGTH_PENALTIES[length_penalty]

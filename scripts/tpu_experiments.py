@@ -1772,6 +1772,80 @@ def beam_parts_fused():
         "residual_beam_logic": round(resid, 3)}}), flush=True)
 
 
+def dispatch_table_beambk():
+    """Beam BOOKKEEPING A/B, measured END-TO-END (CLAUDE.md round-2
+    lesson: confirm dispatch decisions end-to-end, not from
+    microbenches): full CARS beam suggestion decode at the bench shape
+    with the fused generator step, ``legacy`` (lax.top_k merge + row
+    gathers + carried sequence buffer) vs ``fused`` (iterative
+    masked-max merge with token payload, one-hot select+sum reorders,
+    post-scan backpointer reconstruction) bookkeeping -- the bookkeeping
+    residual is 2/3 of the fused beam-5 decode step (PERF.md r4 #5).
+    Writes ``beam_bk`` rows keyed (rows=B*K, k) consumed by
+    ``ops.dispatch.prefer_fused_bookkeeping``; the merge inputs are the
+    same [B, K*(K+1)] arrays under either generator step, so the row
+    also decides XLA-generator beams at the same shape.  Both modes are
+    bit-exact (CI: tests/test_decode.py); on-chip decoded-output parity
+    is asserted anyway.  Usage: dispatch_table_beambk [K...]."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (beam_search,
+                                                 make_fused_beam_step)
+    from context_attentive_ir_tpu.ops import dispatch
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+    state0, memory0, _ = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, method=model.decode_init))(params, batch)
+    Bq = memory0.shape[0]
+
+    def run(K, bk):
+        @jax.jit
+        def f(params, batch):
+            var = {"params": params}
+            state, memory, memory_mask = model.apply(
+                var, batch, method=model.decode_init)
+            rows = memory.shape[0]
+            rep = lambda x: jnp.repeat(x, K, axis=0)
+            mem_k, mask_k = rep(memory), rep(memory_mask)
+            step = make_fused_beam_step(model, var, params, mem_k, mask_k,
+                                        kc=K + 1)
+            return beam_search(step, state, rows, 16, K, bookkeeping=bk)
+        return f
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=10),
+                   timed(fn, *args, warmup=0, iters=10))
+
+    widths = [int(a) for a in sys.argv[2:]] or [5]
+    new = []
+    for K in widths:
+        ms, outs = {}, {}
+        for bk in ("legacy", "fused"):
+            fn = run(K, bk)
+            ms[bk] = timed2(fn, params, batch) * 1e3
+            outs[bk] = jax.device_get(fn(params, batch))
+            report("dispatch_beambk", ms[bk] / 1e3, k=K, bookkeeping=bk,
+                   qps=round(Bq / (ms[bk] / 1e3) * 1e3, 1))
+        mism = int((np.asarray(outs["legacy"][0])
+                    != np.asarray(outs["fused"][0])).sum())
+        sdiff = float(np.max(np.abs(np.asarray(outs["legacy"][1])
+                                    - np.asarray(outs["fused"][1]))))
+        print(json.dumps({"exp": "dispatch_beambk", "k": K,
+                          "seq_mismatch": mism,
+                          "score_max_diff": sdiff}), flush=True)
+        new.append(dict(kind="beam_bk", rows=Bq * K, k=K,
+                        fused_ms=round(ms["fused"], 3),
+                        legacy_ms=round(ms["legacy"], 3)))
+    fresh = {(x["rows"], x["k"]) for x in new}
+    merged = [e for e in dispatch._load_table()
+              if e.get("kind") != "beam_bk"
+              or (e["rows"], e["k"]) not in fresh] + new
+    dispatch.write_table(merged)
+    print(json.dumps({"exp": "dispatch_table_beambk",
+                      "written": str(dispatch.TABLE_PATH),
+                      "n_entries": len(merged)}), flush=True)
+
+
 def greedy_fused_e2e():
     """END-TO-END A/B for the fused generator step under GREEDY decode
     (kc=2; decode/greedy.py fused mode): full CARS greedy suggestion at
@@ -1840,6 +1914,7 @@ if __name__ == "__main__":
      "large_r": large_r, "large_r2": large_r2, "hoist_check": hoist_check,
      "scale_bucketing": scale_bucketing,
      "dispatch_table_beamgen": dispatch_table_beamgen,
+     "dispatch_table_beambk": dispatch_table_beambk,
      "beam_fused_e2e": beam_fused_e2e,
      "greedy_fused_e2e": greedy_fused_e2e,
      "beam_parts_fused": beam_parts_fused,

@@ -265,3 +265,127 @@ def test_beam_coverage_reranks():
                         coverage_beta=5.0, cov_mask=cov_mask)
     assert np.asarray(t0)[0, 0] == 4   # raw logprob prefers 'a'
     assert np.asarray(t1)[0, 0] == 5   # coverage prefers spread attention
+
+
+def test_iter_topk_matches_lax_topk():
+    """The sort-free merge must reproduce lax.top_k values, indices (tie
+    semantics: lowest index first), and carry the winning lane's payload
+    -- including inputs with lanes BELOW the finite NEG_INF sentinel,
+    where a value-overwrite retirement (instead of the taken mask) would
+    re-pick retired lanes and emit duplicate indices."""
+    from context_attentive_ir_tpu.decode.beam import _iter_topk
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        b, c = rng.randint(1, 6), rng.randint(5, 40)
+        k = min(rng.randint(1, 6), c)
+        x = rng.randn(b, c).astype(np.float32)
+        if trial % 3 == 0:
+            x = np.round(x) + 0.0           # heavy exact ties
+        if trial % 4 == 0:
+            x[rng.rand(b, c) < 0.5] = -1e9  # NEG_INF-valued lanes
+        if trial % 5 == 0:
+            x[rng.rand(b, c) < 0.3] = -2e9  # below the sentinel
+        pay = rng.randint(0, 1000, (b, c)).astype(np.int32)
+        v, i, p = _iter_topk(jnp.asarray(x), jnp.asarray(pay), k)
+        rv, ri = jax.lax.top_k(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_array_equal(
+            np.asarray(p), pay[np.arange(b)[:, None], np.asarray(ri)])
+
+
+def test_select_slots_matches_gather():
+    """One-hot select+sum beam reorder == advanced-index gather, for
+    float / int / bool leaves and trailing dims 0..2."""
+    from context_attentive_ir_tpu.decode.beam import _select_slots
+
+    rng = np.random.RandomState(3)
+    for shape in [(4, 5), (3, 4, 7), (2, 3, 4, 2)]:
+        parent = rng.randint(0, shape[1], shape[:2]).astype(np.int32)
+        for dtype in (np.float32, np.int32, bool):
+            x = (rng.randn(*shape) * 10).astype(dtype)
+            got = np.asarray(
+                _select_slots(jnp.asarray(x), jnp.asarray(parent)))
+            want = x[np.arange(shape[0])[:, None], parent]
+            assert got.dtype == want.dtype
+            np.testing.assert_array_equal(got, want)
+
+
+def test_beam_bookkeeping_modes_agree_end_to_end():
+    """``legacy`` (lax.top_k merge + row gathers + carried sequence
+    buffer) and ``fused`` (iterative merge + one-hot selects +
+    backpointer reconstruction) bookkeeping must produce bit-identical
+    beams across n-best, min_length, coverage, and fused-generator-step
+    modes (PERF.md r4: the bookkeeping is 2/3 of the on-chip beam-5
+    decode step, so it gets the same exactness guarantee as the
+    top-k and generator dispatches)."""
+    rng = np.random.RandomState(11)
+    H, vv = 8, 32
+    Wt = jnp.asarray(rng.randn(vv, H).astype(np.float32))
+    Wh = jnp.asarray(rng.randn(H, H).astype(np.float32))
+    emb = jnp.asarray(rng.randn(vv, H).astype(np.float32))
+
+    def step(state, tok):
+        h = jnp.tanh(state @ Wh + emb[tok])
+        return h, h @ Wt.T
+
+    def step_attn(state, tok):
+        h = jnp.tanh(state @ Wh + emb[tok])
+        return h, h @ Wt.T, jax.nn.softmax(h[:, :4])
+
+    def step_topk(state, tok):
+        h = jnp.tanh(state @ Wh + emb[tok])
+        logits = h @ Wt.T
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        t1, i1 = jax.lax.top_k(logits, 6)
+        return h, (t1, i1, lse)
+
+    cases = [
+        (step, dict(beam_size=5)),
+        (step, dict(beam_size=3, return_nbest=True, min_length=2)),
+        (step_attn, dict(beam_size=4, coverage_beta=0.3,
+                         return_nbest=True)),
+        (step_topk, dict(beam_size=5, return_nbest=True)),
+    ]
+    for fn, kw in cases:
+        init = jnp.asarray(rng.randn(3, H).astype(np.float32))
+        a = beam_search(fn, init, 3, 6, bookkeeping="legacy", **kw)
+        b = beam_search(fn, init, 3, 6, bookkeeping="fused", **kw)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bookkeeping_auto_dispatch(monkeypatch, tmp_path):
+    """``auto`` resolves via measured ``beam_bk`` table rows on TPU and
+    falls back to legacy on CPU / for unmeasured shapes (both modes are
+    bit-exact, so this only pins the dispatch policy)."""
+    from context_attentive_ir_tpu.decode import beam
+    from context_attentive_ir_tpu.ops import dispatch
+
+    # CPU backend -> legacy, regardless of table
+    assert beam._resolve_bookkeeping("auto", 1600, 5) == "legacy"
+    # forced methods pass through untouched
+    assert beam._resolve_bookkeeping("fused", 1600, 5) == "fused"
+
+    monkeypatch.setattr(beam.jax, "default_backend", lambda: "tpu")
+    # TPU backend, no measured beam_bk rows -> legacy
+    assert beam._resolve_bookkeeping("auto", 1600, 5) == "legacy"
+
+    monkeypatch.setattr(dispatch, "TABLE_PATH", tmp_path / "t.json")
+    try:
+        dispatch.write_table([
+            dict(kind="beam_bk", rows=1600, k=5,
+                 fused_ms=1.0, legacy_ms=2.0),
+            dict(kind="beam_bk", rows=320, k=2,
+                 fused_ms=2.0, legacy_ms=1.0),
+        ])
+        assert beam._resolve_bookkeeping("auto", 1600, 5) == "fused"
+        # nearest rows in log distance at exact k match
+        assert beam._resolve_bookkeeping("auto", 3000, 5) == "fused"
+        # measured slower -> legacy
+        assert beam._resolve_bookkeeping("auto", 320, 2) == "legacy"
+        # no k match -> legacy
+        assert beam._resolve_bookkeeping("auto", 1600, 3) == "legacy"
+    finally:
+        dispatch.reload_table()
