@@ -1825,7 +1825,7 @@ def dispatch_table_beambk():
             ms[bk] = timed2(fn, params, batch) * 1e3
             outs[bk] = jax.device_get(fn(params, batch))
             report("dispatch_beambk", ms[bk] / 1e3, k=K, bookkeeping=bk,
-                   qps=round(Bq / (ms[bk] / 1e3) * 1e3, 1))
+                   qps=round(Bq / ms[bk] * 1e3, 1))
         mism = int((np.asarray(outs["legacy"][0])
                     != np.asarray(outs["fused"][0])).sum())
         sdiff = float(np.max(np.abs(np.asarray(outs["legacy"][1])
@@ -1844,6 +1844,226 @@ def dispatch_table_beambk():
     print(json.dumps({"exp": "dispatch_table_beambk",
                       "written": str(dispatch.TABLE_PATH),
                       "n_entries": len(merged)}), flush=True)
+
+
+def beam_bk_alone():
+    """Beam bookkeeping ALONE: ``beam_search`` driven by a near-free
+    synthetic fused-generator step over the REAL tiled decoder-state
+    pytree, so the 16-step scan prices only the per-step beam logic
+    (merge over [B, K*(K+1)], state reorder of the real carry leaves,
+    finished/length masks, and -- legacy mode -- the carried sequence
+    buffer).  Closes the attribution question left by r4 #5/#6: the A/B
+    between legacy and fused bookkeeping moved only ~0.6 ms of the
+    ~19.8 ms residual, so either the bookkeeping ops are individually
+    cheap and the residual is scan/scheduling interaction with the model
+    + generator parts, or they genuinely cost ~1.2 ms/step and a fused
+    bookkeeping kernel is the next lever.  The synthetic step keeps a
+    data dependency through every carry leaf and through the emitted
+    (t1, i1, lse) so nothing hoists out of the scan; its own cost is
+    measured separately (``step_only``) and subtracted mentally, not
+    arithmetically.  Usage: beam_bk_alone [K...]."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.constants import EOS
+    from context_attentive_ir_tpu.decode import beam_search
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+    state0, memory0, _ = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, method=model.decode_init))(params, batch)
+    Bq = memory0.shape[0]
+    V = int(params["embeddings"]["embedding"].shape[0])
+
+    def mk_step(kc):
+        def step(st, tok):
+            st = jax.tree_util.tree_map(lambda x: x * 0.999, st)
+            leaf = jax.tree_util.tree_leaves(st)[0]
+            r = tok.shape[0]
+            base = (leaf[:, :kc].astype(jnp.float32)
+                    + tok[:, None].astype(jnp.float32) * 1e-3)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (r, kc), 1)
+            # occasional EOS so finished-beam logic is exercised
+            i1 = jnp.where((tok[:, None] + lane) % 97 == 0, EOS,
+                           (tok[:, None] * 31 + lane * 37 + 7) % V)
+            return st, (base, i1, base[:, 0] * 0.1)
+        return step
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=10),
+                   timed(fn, *args, warmup=0, iters=10))
+
+    widths = [int(a) for a in sys.argv[2:]] or [5]
+    for K in widths:
+        kc = K + 1
+        step = mk_step(kc)
+
+        @jax.jit
+        def step_only(state):
+            st = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, K, axis=0), state)
+            toks = jnp.full((Bq * K,), 2, jnp.int32)
+
+            def body(s, _):
+                s, (t1, i1, lse) = step(s, toks)
+                return s, t1.sum() + i1.sum() + lse.sum()
+            _, outs = jax.lax.scan(body, st, jnp.arange(16))
+            return outs
+
+        ms0 = timed2(step_only, state0) * 1e3
+        report("beam_bk_alone", ms0 / 1e3, k=K, stage="step_only")
+        for bk in ("legacy", "fused"):
+            @jax.jit
+            def run(state, bk=bk):
+                return beam_search(step, state, Bq, 16, K, bookkeeping=bk)
+            ms = timed2(run, state0) * 1e3
+            report("beam_bk_alone", ms / 1e3, k=K, stage=f"bk_{bk}",
+                   bk_minus_step_ms=round(ms - ms0, 3))
+
+
+def beam_slope():
+    """SLOPE attribution of the fused beam-5 decode: time each program at
+    max_len 8/16/32 and report the fitted per-step cost (slope) plus
+    intercept.  Replaces the parts methodology of ``beam_parts_fused``,
+    which double-counted two artifacts ``scan_floor`` exposed: (a) every
+    single-program timing through the tunnel carries a ~3-4 ms
+    per-EXECUTION constant (so each "part" read ~3 ms high), and (b) the
+    isolated generator scan consumed loop-invariant inputs, so XLA
+    hoisted the kernel out of the scan and 16 "steps" priced ONE call.
+    Slopes cancel both: the constant lands in the intercept, and every
+    scanned body here threads the carry through the expensive op so
+    nothing hoists.  Programs: full fused beam_search, model-only scan
+    (decode_step_fused), generator-only scan (carry-perturbed proj so
+    the pallas call runs every step), bookkeeping-only beam (synthetic
+    near-free step, fused bookkeeping).  Usage: beam_slope [K]."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (beam_search,
+                                                 make_fused_beam_step)
+    from context_attentive_ir_tpu.ops.pallas.beamgen import (
+        generator_topk_lse,
+    )
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    kc = K + 1
+
+    init_only = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, method=model.decode_init))
+    state0, memory0, mask0 = init_only(params, batch)
+    Bq = memory0.shape[0]
+    rep = lambda x: jnp.repeat(x, K, axis=0)
+    mem_k, mask_k = rep(memory0), rep(mask0)
+    table_t = params["embeddings"]["embedding"].T.astype(jnp.bfloat16)
+    V = table_t.shape[1]
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=10),
+                   timed(fn, *args, warmup=0, iters=10))
+
+    lens = (8, 16, 32)
+
+    def full(T):
+        @jax.jit
+        def f(params, batch):
+            var = {"params": params}
+            state, memory, memory_mask = model.apply(
+                var, batch, method=model.decode_init)
+            step = make_fused_beam_step(model, var, params, rep(memory),
+                                        rep(memory_mask), kc=kc)
+            return beam_search(step, state, Bq, T, K)
+        return f, (params, batch)
+
+    def model_only(T):
+        @jax.jit
+        def f(params, state):
+            var = {"params": params}
+            toks = jnp.full((Bq * K,), 2, jnp.int32)
+
+            def body(st, _):
+                st, proj, _ = model.apply(var, st, toks, mem_k, mask_k,
+                                          method=model.decode_step_fused)
+                return st, proj.sum()
+            st = jax.tree_util.tree_map(rep, state)
+            return jax.lax.scan(body, st, jnp.arange(T))[1]
+        return f, (params, state0)
+
+    def gen_only(T):
+        proj0 = jnp.full((Bq * K, table_t.shape[0]), 0.01, jnp.bfloat16)
+
+        @jax.jit
+        def f(proj0, table_t):
+            def body(c, _):
+                v, i, l = generator_topk_lse(proj0 * c, table_t, kc)
+                # thread the result back into the carry: no hoist
+                return (v[0, 0] * 1e-6 + 1.0).astype(jnp.bfloat16), i.sum()
+            return jax.lax.scan(body, jnp.bfloat16(1.0), jnp.arange(T))[1]
+        return f, (proj0, table_t)
+
+    def bk_only(T):
+        def stepfn(st, tok):
+            st = jax.tree_util.tree_map(lambda x: x * 0.999, st)
+            leaf = jax.tree_util.tree_leaves(st)[0]
+            base = (leaf[:, :kc].astype(jnp.float32)
+                    + tok[:, None].astype(jnp.float32) * 1e-3)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (tok.shape[0], kc), 1)
+            i1 = (tok[:, None] * 31 + lane * 37 + 7) % V
+            return st, (base, i1, base[:, 0] * 0.1)
+
+        @jax.jit
+        def f(state):
+            return beam_search(stepfn, state, Bq, T, K,
+                               bookkeeping="fused")
+        return f, (state0,)
+
+    out = {}
+    for name, mk in (("full", full), ("model", model_only),
+                     ("generator", gen_only), ("bookkeeping", bk_only)):
+        ms = {}
+        for T in lens:
+            fn, args = mk(T)
+            ms[T] = timed2(fn, *args) * 1e3
+        slope = (ms[lens[-1]] - ms[lens[0]]) / (lens[-1] - lens[0])
+        mid_pred = ms[lens[0]] + slope * (lens[1] - lens[0])
+        out[name] = {"ms": {str(t): round(m, 3) for t, m in ms.items()},
+                     "us_per_step": round(slope * 1e3, 1),
+                     "intercept_ms": round(ms[lens[0]] - slope * lens[0], 3),
+                     "mid_fit_err_ms": round(ms[lens[1]] - mid_pred, 3)}
+        report("beam_slope", ms[lens[1]] / 1e3, program=name,
+               us_per_step=out[name]["us_per_step"],
+               intercept_ms=out[name]["intercept_ms"])
+    print(json.dumps({"exp": "beam_slope", "k": K, "fit": out}),
+          flush=True)
+
+
+def scan_floor():
+    """Price the bare 16-iteration ``lax.scan`` on this chip: trivial
+    bodies over (a) a scalar carry, (b) a beam-decode-sized carry
+    (5 x [1600, 128] f32), each at unroll 1/4/16.  Motivated by
+    ``beam_bk_alone``: a trivial-body scan over the real beam carry
+    costs ~3.3 ms (~206 us/step), i.e. the fused beam-5 step is
+    dominated by per-iteration cost, not by its ops -- this experiment
+    separates loop-trip overhead (amortized by unroll) from
+    carry-size-proportional cost (buffer copies; unroll-insensitive)."""
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=10),
+                   timed(fn, *args, warmup=0, iters=10))
+
+    big = [jnp.ones((1600, 128), jnp.float32) * (1 + i * 0.1)
+           for i in range(5)]
+
+    for name, carry0 in (("scalar", jnp.float32(1.0)), ("beam_sized", big)):
+        for unroll in (1, 4, 16):
+            @jax.jit
+            def run(c0, unroll=unroll):
+                def body(c, _):
+                    c = jax.tree_util.tree_map(lambda x: x * 0.999, c)
+                    return c, jax.tree_util.tree_leaves(c)[0].sum()
+                _, outs = jax.lax.scan(body, c0, jnp.arange(16),
+                                       unroll=unroll)
+                return outs
+            ms = timed2(run, carry0) * 1e3
+            report("scan_floor", ms / 1e3, carry=name, unroll=unroll,
+                   us_per_step=round(ms / 16 * 1e3, 1))
 
 
 def greedy_fused_e2e():
@@ -1915,6 +2135,7 @@ if __name__ == "__main__":
      "scale_bucketing": scale_bucketing,
      "dispatch_table_beamgen": dispatch_table_beamgen,
      "dispatch_table_beambk": dispatch_table_beambk,
+     "beam_bk_alone": beam_bk_alone, "scan_floor": scan_floor, "beam_slope": beam_slope,
      "beam_fused_e2e": beam_fused_e2e,
      "greedy_fused_e2e": greedy_fused_e2e,
      "beam_parts_fused": beam_parts_fused,
