@@ -38,14 +38,23 @@ def can_fuse_generator(model, params) -> bool:
 def make_fused_beam_step(model, var, params, memory, memory_mask,
                          kc: int, dtype=jnp.bfloat16,
                          block_r: int = 320, block_v: int = 2048,
-                         interpret: bool = False) -> Optional[Callable]:
+                         interpret: bool = False,
+                         pipeline: bool | None = None) -> Optional[Callable]:
     """``(state, tokens) -> (state, (vals, idx, lse))`` or None when the
     model/params cannot take the fused path.  ``memory``/``memory_mask``
     must already be beam-tiled.  The transposed table is computed inside
     the traced step from ``params`` -- loop-invariant, so XLA hoists the
-    one-time transpose out of the beam scan."""
+    one-time transpose out of the beam scan.  ``pipeline=None`` resolves
+    the serial-vs-software-pipelined kernel variant from the measured
+    dispatch table (``ops.dispatch.prefer_pipelined_generator``); both
+    variants are bit-exact."""
     if not can_fuse_generator(model, params):
         return None
+
+    if pipeline is None:
+        from ..ops.dispatch import prefer_pipelined_generator
+
+        pipeline = prefer_pipelined_generator(memory.shape[0], kc)
 
     def step(state, tokens):
         table_t = fused_generator_table(params, dtype)
@@ -54,6 +63,7 @@ def make_fused_beam_step(model, var, params, memory, memory_mask,
                                      method=model.decode_step_fused)
         return state, generator_topk_lse(proj.astype(dtype), table_t, kc,
                                          block_r=block_r, block_v=block_v,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         pipeline=pipeline)
 
     return step

@@ -97,15 +97,81 @@ def _beamgen_kernel(x_ref, t_ref, vals_ref, idx_ref, lse_ref, m_s, s_s, *,
         lse_ref[:] = m_s[:] + jnp.log(s_s[:])
 
 
+def _beamgen_pipelined_kernel(x_ref, t_ref, vals_ref, idx_ref, lse_ref,
+                              sc_s, m_s, s_s, *, kc: int, v_logical: int,
+                              block_v: int, n_v: int):
+    """Software-pipelined variant: at grid step j, issue the MXU matmul
+    for vocab tile j into one half of a double-buffered score scratch,
+    and run the VPU selection + online-lse passes on tile j-1's scores
+    from the other half.  The two phases touch disjoint data, so Mosaic
+    can overlap MXU and VPU work instead of serializing them within each
+    step (the measured 1.5 ms/call of the serial kernel splits ~0.8 ms
+    VPU selection + ~0.25 ms matmul + overheads; PERF.md r4 #6).  The
+    grid is (n_r, n_v + 1): step n_v runs only the drain (selection of
+    the last tile + lse epilogue)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG)
+        s_s[:] = jnp.zeros_like(s_s)
+        vals_ref[:] = jnp.full_like(vals_ref, NEG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    @pl.when(j < n_v)
+    def _():
+        sc_s[j % 2] = jnp.dot(x_ref[:], t_ref[:],
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(j > 0)
+    def _():
+        jj = j - 1                                    # tile being selected
+        scores = sc_s[jj % 2]
+        col = (jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+               + jj * block_v)
+        scores = jnp.where(col < v_logical, scores, NEG)
+
+        m_old = m_s[:]
+        m_new = jnp.maximum(m_old, jnp.max(scores, -1, keepdims=True))
+        s_s[:] = (s_s[:] * jnp.exp(m_old - m_new)
+                  + jnp.sum(jnp.exp(scores - m_new), -1, keepdims=True))
+        m_s[:] = m_new
+
+        comb_v = jnp.concatenate([scores, vals_ref[:]], -1)
+        comb_i = jnp.concatenate([col, idx_ref[:]], -1)
+        new_v, new_i = [], []
+        for _ in range(kc):
+            m = jnp.max(comb_v, -1, keepdims=True)
+            hit = comb_v == m
+            ci = jnp.min(jnp.where(hit, comb_i, jnp.int32(2 ** 30)), -1,
+                         keepdims=True)
+            comb_v = jnp.where(hit & (comb_i == ci), NEG, comb_v)
+            new_v.append(m)
+            new_i.append(ci)
+        rb = comb_v.shape[0]
+        new_v.append(jnp.full((rb, _KPAD - kc), NEG, jnp.float32))
+        new_i.append(jnp.zeros((rb, _KPAD - kc), jnp.int32))
+        vals_ref[:] = jnp.concatenate(new_v, -1)
+        idx_ref[:] = jnp.concatenate(new_i, -1)
+
+    @pl.when(j == n_v)
+    def _():
+        lse_ref[:] = m_s[:] + jnp.log(s_s[:])
+
+
 @functools.partial(jax.jit, static_argnames=("kc", "block_r", "block_v",
-                                             "interpret"))
+                                             "interpret", "pipeline"))
 def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
                        block_r: int = 320, block_v: int = 2048,
-                       interpret: bool = False):
+                       interpret: bool = False, pipeline: bool = False):
     """Fused ``top_k(x @ table_t, kc)`` + ``logsumexp(x @ table_t)``.
 
     x [R, E] (bf16/f32), table_t [E, V] -> (vals [R, kc] f32,
     idx [R, kc] i32, lse [R] f32).  The [R, V] logits never exist in HBM.
+
+    ``pipeline=True`` selects the software-pipelined kernel (matmul of
+    vocab tile j overlaps selection of tile j-1 via a double-buffered
+    VMEM score scratch); bit-identical outputs, measured dispatch.
     """
     assert 0 < kc <= _KPAD
     r, e = x.shape
@@ -120,15 +186,33 @@ def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
         table_t = jnp.pad(table_t, ((0, ep - e), (0, vp - v)))
     n_r, n_v = rp // block_r, vp // block_v
 
-    kern = functools.partial(_beamgen_kernel, kc=kc, v_logical=v,
-                             block_v=block_v, n_v=n_v)
+    if pipeline:
+        kern = functools.partial(_beamgen_pipelined_kernel, kc=kc,
+                                 v_logical=v, block_v=block_v, n_v=n_v)
+        grid = (n_r, n_v + 1)
+        # step n_v only drains; clamp the table block index
+        t_map = lambda i, j: (0, jax.lax.min(j, n_v - 1))
+        scratch = [
+            pltpu.VMEM((2, block_r, block_v), jnp.float32),  # score pingpong
+            pltpu.VMEM((block_r, 1), jnp.float32),           # running max
+            pltpu.VMEM((block_r, 1), jnp.float32),           # running sumexp
+        ]
+    else:
+        kern = functools.partial(_beamgen_kernel, kc=kc, v_logical=v,
+                                 block_v=block_v, n_v=n_v)
+        grid = (n_r, n_v)
+        t_map = lambda i, j: (0, j)
+        scratch = [
+            pltpu.VMEM((block_r, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_r, 1), jnp.float32),   # running sumexp
+        ]
     vals, idx, lse = pl.pallas_call(
         kern,
-        grid=(n_r, n_v),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((block_r, ep), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ep, block_v), lambda i, j: (0, j),
+            pl.BlockSpec((ep, block_v), t_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -144,10 +228,7 @@ def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
             jax.ShapeDtypeStruct((rp, _KPAD), jnp.int32),
             jax.ShapeDtypeStruct((rp, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_r, 1), jnp.float32),   # running max
-            pltpu.VMEM((block_r, 1), jnp.float32),   # running sumexp
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * ep * vp + 5 * kc * rp * vp,
             bytes_accessed=(ep * vp * table_t.dtype.itemsize * n_r

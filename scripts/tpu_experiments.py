@@ -1846,6 +1846,115 @@ def dispatch_table_beambk():
                       "n_entries": len(merged)}), flush=True)
 
 
+def dispatch_table_beamgen_pipe():
+    """Serial vs software-pipelined beamgen kernel (PERF.md r4 #6 lever:
+    overlap tile j's MXU matmul with tile j-1's VPU selection via a
+    double-buffered VMEM score scratch).  Measures (a) the carry-threaded
+    generator-only 16-step scan (honest per-call cost; nothing hoists),
+    (b) END-TO-END CARS beam-5 decode with the kernel variant forced
+    each way (the dispatch decision is confirmed end-to-end per the
+    round-2 lesson), and (c) on-chip bit-exactness between variants.
+    Writes ``beam_gen_pipe`` rows keyed (rows, kc) from the e2e numbers,
+    consumed by ``ops.dispatch.prefer_pipelined_generator``.
+    Usage: dispatch_table_beamgen_pipe [K...]."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (beam_search,
+                                                 make_fused_beam_step)
+    from context_attentive_ir_tpu.ops import dispatch
+    from context_attentive_ir_tpu.ops.pallas.beamgen import (
+        generator_topk_lse,
+    )
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+    state0, memory0, _ = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, method=model.decode_init))(params, batch)
+    Bq = memory0.shape[0]
+    table_t = params["embeddings"]["embedding"].T.astype(jnp.bfloat16)
+
+    def timed2(fn, *args):
+        return min(timed(fn, *args, warmup=2, iters=10),
+                   timed(fn, *args, warmup=0, iters=10))
+
+    widths = [int(a) for a in sys.argv[2:]] or [5]
+    new = []
+    for K in widths:
+        kc = K + 1
+        rows = Bq * K
+        proj0 = jnp.full((rows, table_t.shape[0]), 0.01, jnp.bfloat16)
+
+        # (a) honest generator-only scan, serial vs pipelined
+        def gen_scan(pipe):
+            @jax.jit
+            def f(proj0, table_t):
+                def body(c, _):
+                    v, i, l = generator_topk_lse(proj0 * c, table_t, kc,
+                                                 pipeline=pipe)
+                    return ((v[0, 0] * 1e-6 + 1.0).astype(jnp.bfloat16),
+                            i.sum())
+                return jax.lax.scan(body, jnp.bfloat16(1.0),
+                                    jnp.arange(16))[1]
+            return f
+
+        scan_ms = {}
+        for pipe in (False, True):
+            scan_ms[pipe] = timed2(gen_scan(pipe), proj0, table_t) * 1e3
+            report("beamgen_pipe_scan", scan_ms[pipe] / 1e3, k=K,
+                   pipeline=pipe,
+                   us_per_call=round(scan_ms[pipe] / 16 * 1e3, 1))
+
+        # (c) on-chip bit-exactness (random real projection)
+        x = jax.random.normal(jax.random.key(0),
+                              (rows, table_t.shape[0])).astype(jnp.bfloat16)
+        a = jax.device_get(generator_topk_lse(x, table_t, kc,
+                                              pipeline=False))
+        b = jax.device_get(generator_topk_lse(x, table_t, kc,
+                                              pipeline=True))
+        vdiff = float(np.max(np.abs(np.asarray(a[0]) - np.asarray(b[0]))))
+        imism = int((np.asarray(a[1]) != np.asarray(b[1])).sum())
+        ldiff = float(np.max(np.abs(np.asarray(a[2]) - np.asarray(b[2]))))
+
+        # (b) end-to-end CARS beam decode, kernel variant forced
+        def run(pipe):
+            @jax.jit
+            def f(params, batch):
+                var = {"params": params}
+                state, memory, memory_mask = model.apply(
+                    var, batch, method=model.decode_init)
+                rep = lambda t: jnp.repeat(t, K, axis=0)
+                step = make_fused_beam_step(model, var, params,
+                                            rep(memory), rep(memory_mask),
+                                            kc=kc, pipeline=pipe)
+                return beam_search(step, state, Bq, 16, K)
+            return f
+
+        ms, outs = {}, {}
+        for pipe in (False, True):
+            fn = run(pipe)
+            ms[pipe] = timed2(fn, params, batch) * 1e3
+            outs[pipe] = jax.device_get(fn(params, batch))
+            report("dispatch_beamgen_pipe", ms[pipe] / 1e3, k=K,
+                   pipeline=pipe, qps=round(Bq / ms[pipe] * 1e3, 1))
+        mism = int((np.asarray(outs[False][0])
+                    != np.asarray(outs[True][0])).sum())
+        print(json.dumps({"exp": "dispatch_beamgen_pipe", "k": K,
+                          "kernel_val_max_diff": vdiff,
+                          "kernel_idx_mismatch": imism,
+                          "kernel_lse_max_diff": ldiff,
+                          "e2e_seq_mismatch": mism}), flush=True)
+        new.append(dict(kind="beam_gen_pipe", rows=rows, kc=kc,
+                        pipe_ms=round(ms[True], 3),
+                        serial_ms=round(ms[False], 3)))
+    fresh = {(x["rows"], x["kc"]) for x in new}
+    merged = [e for e in dispatch._load_table()
+              if e.get("kind") != "beam_gen_pipe"
+              or (e["rows"], e["kc"]) not in fresh] + new
+    dispatch.write_table(merged)
+    print(json.dumps({"exp": "dispatch_table_beamgen_pipe",
+                      "written": str(dispatch.TABLE_PATH),
+                      "n_entries": len(merged)}), flush=True)
+
+
 def beam_bk_alone():
     """Beam bookkeeping ALONE: ``beam_search`` driven by a near-free
     synthetic fused-generator step over the REAL tiled decoder-state
@@ -2135,7 +2244,9 @@ if __name__ == "__main__":
      "scale_bucketing": scale_bucketing,
      "dispatch_table_beamgen": dispatch_table_beamgen,
      "dispatch_table_beambk": dispatch_table_beambk,
-     "beam_bk_alone": beam_bk_alone, "scan_floor": scan_floor, "beam_slope": beam_slope,
+     "beam_bk_alone": beam_bk_alone, "scan_floor": scan_floor,
+     "beam_slope": beam_slope,
+     "dispatch_table_beamgen_pipe": dispatch_table_beamgen_pipe,
      "beam_fused_e2e": beam_fused_e2e,
      "greedy_fused_e2e": greedy_fused_e2e,
      "beam_parts_fused": beam_parts_fused,

@@ -369,11 +369,13 @@ def test_bookkeeping_auto_dispatch(monkeypatch, tmp_path):
     assert beam._resolve_bookkeeping("fused", 1600, 5) == "fused"
 
     monkeypatch.setattr(beam.jax, "default_backend", lambda: "tpu")
-    # TPU backend, no measured beam_bk rows -> legacy
-    assert beam._resolve_bookkeeping("auto", 1600, 5) == "legacy"
-
     monkeypatch.setattr(dispatch, "TABLE_PATH", tmp_path / "t.json")
     try:
+        # TPU backend, no measured beam_bk rows -> legacy (the SHIPPED
+        # table has measured rows, so point at an empty one first)
+        dispatch.write_table([])
+        assert beam._resolve_bookkeeping("auto", 1600, 5) == "legacy"
+
         dispatch.write_table([
             dict(kind="beam_bk", rows=1600, k=5,
                  fused_ms=1.0, legacy_ms=2.0),

@@ -82,6 +82,25 @@ def test_beam_gen_dispatch(tmp_path):
         _restore(old)
 
 
+def test_beam_gen_pipe_dispatch(tmp_path):
+    """prefer_pipelined_generator: measured beam_gen_pipe rows decide;
+    unmeasured (kc mismatch / empty table) -> False (serial kernel)."""
+    old = _with_table(tmp_path, [
+        dict(kind="beam_gen_pipe", rows=1600, kc=6,
+             pipe_ms=20.0, serial_ms=30.0),
+        dict(kind="beam_gen_pipe", rows=320, kc=2,
+             pipe_ms=7.0, serial_ms=6.0),
+    ])
+    try:
+        assert dispatch.prefer_pipelined_generator(1600, 6)
+        # nearest rows in log distance at exact kc match
+        assert dispatch.prefer_pipelined_generator(3000, 6)
+        assert not dispatch.prefer_pipelined_generator(320, 2)
+        assert not dispatch.prefer_pipelined_generator(1600, 4)
+    finally:
+        _restore(old)
+
+
 def test_nearest_row_point_decides(tmp_path):
     old = _with_table(tmp_path, [
         _entry(2000, kernel_ms=2.0, scan_ms=3.0),   # kernel wins

@@ -33,30 +33,33 @@ def _data(rng, r, e, v, integer=False, dtype=jnp.bfloat16):
     return jnp.asarray(x, dtype), jnp.asarray(t, dtype)
 
 
-def test_beamgen_bit_exact_on_integer_data():
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_beamgen_bit_exact_on_integer_data(pipeline):
     rng = np.random.RandomState(0)
     x, tt = _data(rng, 70, 96, 1000, integer=True)
     v1, i1, l1 = generator_topk_lse(x, tt, 6, block_r=16, block_v=256,
-                                    interpret=True)
+                                    interpret=True, pipeline=pipeline)
     v2, i2, l2 = generator_topk_lse_reference(x, tt, 6)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-6)
 
 
-def test_beamgen_random_data_close():
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_beamgen_random_data_close(pipeline):
     rng = np.random.RandomState(1)
     # deliberately unaligned R, E, V: exercises all three pad paths
     x, tt = _data(rng, 53, 100, 999)
     v1, i1, l1 = generator_topk_lse(x, tt, 4, block_r=16, block_v=256,
-                                    interpret=True)
+                                    interpret=True, pipeline=pipeline)
     v2, i2, l2 = generator_topk_lse_reference(x, tt, 4)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
     assert (np.asarray(i1) == np.asarray(i2)).mean() > 0.99
 
 
-def test_beamgen_tie_semantics_match_lax_topk():
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_beamgen_tie_semantics_match_lax_topk(pipeline):
     """Duplicate values across vocab positions (and across tile
     boundaries): selection order must match lax.top_k (ascending index
     among equal values)."""
@@ -65,7 +68,7 @@ def test_beamgen_tie_semantics_match_lax_topk():
     base = np.arange(64) % 4          # values in {0..3}, heavy ties
     tt = jnp.asarray(np.tile(base[None, :], (8, 1)), jnp.float32) / 4.0
     v1, i1, l1 = generator_topk_lse(x, tt, 7, block_r=8, block_v=16,
-                                    interpret=True)
+                                    interpret=True, pipeline=pipeline)
     v2, i2, _ = generator_topk_lse_reference(x, tt, 7)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
