@@ -1681,15 +1681,14 @@ def beam_fused_e2e():
 
 
 def beam_parts_fused():
-    """Post-beamgen decomposition of the fused beam-5 decode (the 30.5 ms
-    e2e step, PERF.md r4 #1): decode_init, a 16-step scan of the model
-    side alone (decode_step_fused: decoder LSTM cell + attention + input
-    feed, no generator), a 16-step scan of the generator kernel alone on
-    a fixed projection, and the full fused beam_search.  full - init -
-    model - kernel ~= beam bookkeeping (top-k over [B, K*(K+1)], state
-    reorder gathers, finished/length masks) + scheduling interaction.
-    Same caveats as score_parts: prefixes/parts are same-process jitted
-    programs, not a profiler trace; deltas are attribution, not gospel."""
+    """SUPERSEDED by ``beam_slope`` (PERF.md r4 #5 vs #6) -- kept for the
+    record.  This parts decomposition double-counts two artifacts:
+    every isolated part carries the ~3-4 ms per-execution timing
+    constant (``scan_floor``), and ``kernel_scan`` below consumes
+    loop-invariant inputs, so XLA hoists the pallas call out of the scan
+    and 16 "steps" price ONE kernel call.  Its "residual ~= bookkeeping"
+    conclusion was wrong (the residual was the generator itself); use
+    slope fitting (``beam_slope``) for any per-step attribution."""
     import bench as bench_mod
 
     from context_attentive_ir_tpu.decode import (beam_search,
@@ -1961,12 +1960,10 @@ def beam_bk_alone():
     pytree, so the 16-step scan prices only the per-step beam logic
     (merge over [B, K*(K+1)], state reorder of the real carry leaves,
     finished/length masks, and -- legacy mode -- the carried sequence
-    buffer).  Closes the attribution question left by r4 #5/#6: the A/B
-    between legacy and fused bookkeeping moved only ~0.6 ms of the
-    ~19.8 ms residual, so either the bookkeeping ops are individually
-    cheap and the residual is scan/scheduling interaction with the model
-    + generator parts, or they genuinely cost ~1.2 ms/step and a fused
-    bookkeeping kernel is the next lever.  The synthetic step keeps a
+    buffer).  Measured (PERF.md r4 #6): bookkeeping adds 1.25 ms
+    (legacy) / 0.39 ms (fused) per 16 steps over the bare scan — the
+    old "bookkeeping is 2/3 of the step" parts-residual was an artifact
+    (see ``beam_parts_fused``/``beam_slope``).  The synthetic step keeps a
     data dependency through every carry leaf and through the emitted
     (t1, i1, lse) so nothing hoists out of the scan; its own cost is
     measured separately (``step_only``) and subtracted mentally, not
