@@ -130,9 +130,11 @@ def _reconstruct_seqs(toks: jnp.ndarray, parents: jnp.ndarray):
     backpointer [B, K])`` pairs by one reverse scan.
 
     The in-loop alternative -- reorder + scatter of the full
-    ``[B, K, max_len]`` buffer every step -- was part of the measured
-    beam-bookkeeping residual (PERF.md r4 #5); the backpointer chain
-    moves that work out of the hot loop into T tiny [B, K] selects.
+    ``[B, K, max_len]`` buffer every step -- is what the legacy
+    bookkeeping carries; the backpointer chain moves that work out of
+    the hot loop into T tiny [B, K] selects (part of the measured
+    +2.3% fused-bookkeeping win, PERF.md r4 #7; it also shrinks the
+    scan carry).
     Emitted tokens are already PAD on frozen beams (``i1`` is masked to
     PAD before the merge), so no finished-mask is needed here.
     Bit-identical to the carried buffer by induction on the chain.
@@ -252,8 +254,8 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     token payload riding along, one-hot select+sum reorders, and
     post-scan backpointer sequence reconstruction).  Both are
     bit-identical; ``auto`` consults the on-chip-measured dispatch
-    table (the bookkeeping was measured as 2/3 of the fused beam-5
-    decode step, PERF.md r4 #5).
+    table (the fused form measured +2.3% end-to-end at the bench shape;
+    the step is generator-bound, bookkeeping ~0 -- PERF.md r4 #6/#7).
     """
     B, K = batch_size, beam_size
     state = _tile_beam(init_state, K)

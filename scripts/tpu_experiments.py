@@ -1778,8 +1778,8 @@ def dispatch_table_beambk():
     with the fused generator step, ``legacy`` (lax.top_k merge + row
     gathers + carried sequence buffer) vs ``fused`` (iterative
     masked-max merge with token payload, one-hot select+sum reorders,
-    post-scan backpointer reconstruction) bookkeeping -- the bookkeeping
-    residual is 2/3 of the fused beam-5 decode step (PERF.md r4 #5).
+    post-scan backpointer reconstruction) bookkeeping (measured +2.3%
+    for fused; the step is generator-bound -- PERF.md r4 #6/#7).
     Writes ``beam_bk`` rows keyed (rows=B*K, k) consumed by
     ``ops.dispatch.prefer_fused_bookkeeping``; the merge inputs are the
     same [B, K*(K+1)] arrays under either generator step, so the row

@@ -317,9 +317,9 @@ def test_beam_bookkeeping_modes_agree_end_to_end():
     buffer) and ``fused`` (iterative merge + one-hot selects +
     backpointer reconstruction) bookkeeping must produce bit-identical
     beams across n-best, min_length, coverage, and fused-generator-step
-    modes (PERF.md r4: the bookkeeping is 2/3 of the on-chip beam-5
-    decode step, so it gets the same exactness guarantee as the
-    top-k and generator dispatches)."""
+    modes (PERF.md r4 #7: the fused form is the measured-faster on-chip
+    dispatch, so it gets the same exactness guarantee as the top-k and
+    generator dispatches)."""
     rng = np.random.RandomState(11)
     H, vv = 8, 32
     Wt = jnp.asarray(rng.randn(vv, H).astype(np.float32))
