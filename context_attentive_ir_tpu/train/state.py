@@ -25,6 +25,29 @@ class TrainState(train_state.TrainState):
         return jax.random.fold_in(base_rng, self.step)
 
 
+# Embedding-table leaf names (ops.layers.Embeddings params).  With
+# ``fix_embeddings=True`` these leaves are excluded from the optimizer
+# entirely (optax.multi_transform -> masked inner transforms), matching
+# the reference wrapper, which builds its optimizer over
+# ``requires_grad`` parameters only (SURVEY.md SS2.9 'Optimizers') -- so
+# torch Adam never carries moments for a frozen table.  Benefits here:
+# no [V, E] m/v moment buffers (2 x table bytes of HBM) and no per-step
+# moment/update passes over the table; the lookup additionally
+# stop_gradients (ops/layers.py:Embeddings.fixed) so the masked-out
+# update is a structural guarantee, not the only line of defense.
+_EMBEDDING_PARAM_NAMES = ("embedding", "embedding_q", "embedding_scale")
+
+
+def _freeze_labels(params) -> Any:
+    """Label pytree for multi_transform: 'frozen' for embedding tables."""
+
+    def label(path, _leaf):
+        names = {getattr(k, "key", None) for k in path}
+        return "frozen" if names & set(_EMBEDDING_PARAM_NAMES) else "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def make_optimizer(config: ModelConfig) -> optax.GradientTransformation:
     lr: Any = config.learning_rate
     if config.lr_decay_steps > 0 and config.lr_decay < 1.0:
@@ -53,12 +76,23 @@ def make_optimizer(config: ModelConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {config.optimizer!r}")
 
+    inner_parts = []
+    if config.weight_decay > 0:
+        inner_parts.append(optax.add_decayed_weights(config.weight_decay))
+    inner_parts.append(opt)
+    inner = optax.chain(*inner_parts)
+    if config.fix_embeddings:
+        # exclude the frozen table from the optimizer (moments + decay +
+        # update); its grads are already zero via stop_gradient, so the
+        # global-norm clip below is unaffected.  set_to_zero keeps the
+        # frozen leaves' updates exactly 0 regardless of the inner chain.
+        inner = optax.multi_transform(
+            {"train": inner, "frozen": optax.set_to_zero()}, _freeze_labels)
+
     parts = []
     if config.grad_clipping > 0:
         parts.append(optax.clip_by_global_norm(config.grad_clipping))
-    if config.weight_decay > 0:
-        parts.append(optax.add_decayed_weights(config.weight_decay))
-    parts.append(opt)
+    parts.append(inner)
     return optax.chain(*parts)
 
 

@@ -161,6 +161,61 @@ def test_data_parallel_matches_single_device(model_type, data):
     np.testing.assert_allclose(l1, l8, rtol=2e-4)
 
 
+def test_fix_embeddings_masks_optimizer(data, tmp_path):
+    """``fix_embeddings=True`` excludes the table from the optimizer
+    (reference wrapper builds its optimizer over requires_grad params
+    only, SURVEY.md SS2.9): no [V, E] Adam moments, table bit-frozen,
+    the rest of the model still trains, and the masked opt_state
+    round-trips through the checkpoint."""
+    sessions, word_dict = data
+    cfg = default_config("dssm").replace(
+        vocab_size=len(word_dict), learning_rate=5e-3,
+        fix_embeddings=True, **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=8,
+                       shuffle=False, seed=0)
+    batch = next(iter(it.epoch(0)))
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+
+    def table_moment_leaves(opt_state):
+        return [x for x in jax.tree_util.tree_leaves(opt_state)
+                if hasattr(x, "shape")
+                and x.shape == (len(word_dict), cfg.emsize)]
+
+    assert not table_moment_leaves(state.opt_state)
+    cfg_un = cfg.replace(fix_embeddings=False)
+    state_un = create_train_state(build_model(cfg_un), cfg_un, batch,
+                                  jax.random.key(0))
+    assert len(table_moment_leaves(state_un.opt_state)) == 2  # Adam m, v
+
+    def emb_table(params):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        vals = [v for path, v in flat
+                if any(getattr(k, "key", None) == "embedding"
+                       for k in path)]
+        assert len(vals) == 1
+        return np.asarray(vals[0])
+
+    table0 = emb_table(state.params)
+    step = make_train_step(model, cfg)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch, jax.random.key(1))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.9 * losses[0]          # towers still learn
+    np.testing.assert_array_equal(emb_table(state.params), table0)
+
+    ck = Checkpointer(tmp_path, "m", async_save=False)
+    ck.save_best(state, cfg, word_dict, {})
+    template = create_train_state(model, cfg, batch, jax.random.key(9))
+    restored = Checkpointer.load(ck.best_path, template)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(emb_table(restored.params), table0)
+
+
 def test_trainer_early_stopping(data, tmp_path):
     sessions, word_dict = data
     cfg = default_config("esm").replace(vocab_size=len(word_dict), **DIMS)
