@@ -9,7 +9,11 @@ not redistributable, so this CLI provides:
 - ``synthetic``: generate a structurally identical synthetic corpus
   (train/dev/test splits + a toy GloVe file) for development and CI;
 - ``convert``: convert a generic TSV/JSON click log into the framework's
-  JSON-lines session format (documented in ``data/loader.py``).
+  JSON-lines session format (documented in ``data/loader.py``);
+- ``bm25``: the reference's slate-construction step made runnable --
+  retrieve BM25 top-N candidate titles per query over a title corpus
+  (``data/bm25.py`` + optional native scorer) from a raw click log that
+  carries only the clicked titles, emitting ready-to-train sessions.
 """
 
 from __future__ import annotations
@@ -65,6 +69,91 @@ def cmd_convert(args):
     print(f"wrote {args.output} ({len(sessions)} sessions)")
 
 
+def read_click_log(path):
+    """TSV rows: session_id <tab> query <tab> clicked_title.
+
+    Repeated (session, query) rows add clicks to the same turn; query
+    turns keep file order within a session.  Returns
+    ``[(sid, [(query, [clicked titles])])]`` in first-seen session order.
+    """
+    sessions: dict[str, list] = {}
+    for line in open(path):
+        parts = line.rstrip("\n").split("\t")
+        if len(parts) < 3:
+            continue
+        sid, query, clicked = parts[0], parts[1], parts[2]
+        turns = sessions.setdefault(sid, [])
+        if not turns or turns[-1][0] != query:
+            turns.append((query, []))
+        if clicked:
+            turns[-1][1].append(clicked)
+    return list(sessions.items())
+
+
+def cmd_bm25(args):
+    """Build BM25 top-N candidate slates from a raw click log.
+
+    Mirrors the reference's AOL prep (SURVEY.md SS2.11): candidate pool =
+    the title corpus (``--corpus_file``: one title per line, or the
+    distinct clicked titles in the log when omitted); per query turn the
+    slate is BM25 top-``--num_candidates``; clicked titles are labeled 1.
+    A clicked title missing from the top-N is handled per
+    ``--on_missing_click``: ``append`` replaces the slate tail with it
+    (default; every turn keeps its positive, the reference's usable-data
+    convention), ``drop`` discards the turn, ``keep`` leaves the slate
+    all-negative (rank metrics then score it as a miss).
+    """
+    from ..data.bm25 import BM25Index
+
+    log = read_click_log(args.log)
+    if args.corpus_file:
+        titles = [t.rstrip("\n") for t in open(args.corpus_file)]
+        titles = [t for t in titles if t.strip()]
+    else:
+        seen: dict[str, None] = {}
+        for _, turns in log:
+            for _, clicks in turns:
+                for c in clicks:
+                    seen.setdefault(c, None)
+        titles = list(seen)
+    title_ix = {t: i for i, t in enumerate(titles)}
+    index = BM25Index(titles, use_native=not args.no_native)
+    n_turns = n_dropped = n_appended = 0
+    with open(args.output, "w") as f:
+        for sid, turns in log:
+            queries = []
+            for query, clicks in turns:
+                n_turns += 1
+                idx, _scores = index.search(query, args.num_candidates)
+                slate = [int(i) for i in idx]
+                clicked_ids = {title_ix[c] for c in clicks if c in title_ix}
+                missing = clicked_ids - set(slate)
+                if missing:
+                    if args.on_missing_click == "drop":
+                        n_dropped += 1
+                        continue
+                    if args.on_missing_click == "append":
+                        # replace the slate tail (lowest-scored docs that
+                        # are not themselves clicked) with the positives
+                        n_appended += 1
+                        tail = [d for d in reversed(slate)
+                                if d not in clicked_ids][:len(missing)]
+                        for d, m in zip(tail, sorted(missing)):
+                            slate[slate.index(d)] = m
+                qid = f"{sid}_{len(queries)}"
+                queries.append({
+                    "id": qid, "text": query,
+                    "candidates": [
+                        {"id": f"t{d}", "title": titles[d],
+                         "label": int(d in clicked_ids)} for d in slate]})
+            if queries:
+                f.write(json.dumps(
+                    {"session_id": sid, "query": queries}) + "\n")
+    print(f"wrote {args.output}: {len(log)} sessions, {n_turns} turns "
+          f"({n_appended} click-appended, {n_dropped} dropped), "
+          f"corpus {len(titles)} titles")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -84,6 +173,19 @@ def main(argv=None):
     conv.add_argument("--input", required=True)
     conv.add_argument("--output", required=True)
     conv.set_defaults(fn=cmd_convert)
+    bm = sub.add_parser("bm25", help="build BM25 candidate slates from a "
+                        "click log (session_id\\tquery\\tclicked_title)")
+    bm.add_argument("--log", required=True)
+    bm.add_argument("--output", required=True)
+    bm.add_argument("--corpus_file", default=None,
+                    help="title corpus, one per line (default: distinct "
+                         "clicked titles from the log)")
+    bm.add_argument("--num_candidates", type=int, default=50)
+    bm.add_argument("--on_missing_click",
+                    choices=("append", "drop", "keep"), default="append")
+    bm.add_argument("--no_native", action="store_true",
+                    help="force the pure-numpy scorer")
+    bm.set_defaults(fn=cmd_bm25)
     args = p.parse_args(argv)
     args.fn(args)
 

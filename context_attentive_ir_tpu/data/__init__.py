@@ -4,6 +4,7 @@ TPU-native replacement for the reference's ``neuroir/inputters`` +
 ``neuroir/objects`` layers (SURVEY.md SS2.1-SS2.2).
 """
 
+from .bm25 import BM25Index
 from .dataset import BatchIterator, BucketedIterator
 from .dictionary import CharDictionary, Dictionary, build_dictionary
 from .loader import load_data, load_embedding_words, load_embeddings
@@ -31,6 +32,7 @@ from .vectorize import (
 )
 
 __all__ = [
+    "BM25Index",
     "BatchIterator",
     "BucketedIterator",
     "CharDictionary",
