@@ -1152,20 +1152,21 @@ def train_parts():
       fwd_only    loss value alone (forward in train mode)
       grads_only  value_and_grad + grad_norm, NO clip/optimizer apply
       full        the production step (grads + clip + Adam, donated state)
-      fix_emb     full step with ``fix_embeddings=True`` (stop_gradient
-                  through the table lookup: no [V, E] scatter-add in the
-                  backward.  NOTE: Adam still carries full [V, E] moment
-                  + update passes over the table in BOTH variants --
-                  Embeddings.fixed only stops the gradient and
-                  make_optimizer applies no param mask -- so the fix_emb
-                  delta measures the scatter-add backward ONLY, not
-                  table-optimizer cost; ADVICE r3)
+      fix_emb     full step with ``fix_embeddings=True``: stop_gradient
+                  through the table lookup (no [V, E] scatter-add in the
+                  backward) AND, since round 4, the table is masked out
+                  of the optimizer entirely (train/state.py
+                  multi_transform), so this delta covers the scatter-add
+                  backward PLUS the table's Adam moment/update passes
+                  (resolves the ADVICE r3 mislabeling by making the
+                  config do what the label implied)
 
     Deltas: grads_only-fwd_only = backward; full-grads_only = clip+Adam
     apply (grads_only omits clip_by_global_norm, so the global-norm clip
     transform is part of this delta; ADVICE r3); full-fix_emb =
-    embedding scatter-add backward.  Each variant times min-of-2 passes
-    (tunnel jitter would otherwise corrupt the small differences).
+    embedding scatter-add backward + table optimizer cost.  Each variant
+    times min-of-2 passes (tunnel jitter would otherwise corrupt the
+    small differences).
     """
     import bench as bench_mod
     import optax
@@ -1230,7 +1231,8 @@ def train_parts():
         "backward": round((parts["grads_only"] - parts["fwd_only"]) * 1e3, 2),
         "clip_adam_apply": round(
             (parts["full"] - parts["grads_only"]) * 1e3, 2),
-        "emb_grad": round((parts["full"] - parts["fix_emb"]) * 1e3, 2),
+        "emb_grad_plus_table_adam": round(
+            (parts["full"] - parts["fix_emb"]) * 1e3, 2),
     }}), flush=True)
 
 
