@@ -72,8 +72,11 @@ def cmd_convert(args):
 def read_click_log(path):
     """TSV rows: session_id <tab> query <tab> clicked_title.
 
-    Repeated (session, query) rows add clicks to the same turn; query
-    turns keep file order within a session.  Returns
+    CONSECUTIVE rows repeating a session's query add clicks to the same
+    turn (the AOL convention: one row per click of the same issue); a
+    re-issue of an earlier query after other turns starts a NEW turn --
+    that is a real session event, not a continuation.  Query turns keep
+    file order within a session.  Returns
     ``[(sid, [(query, [clicked titles])])]`` in first-seen session order.
     """
     sessions: dict[str, list] = {}
@@ -107,10 +110,22 @@ def cmd_bm25(args):
 
     log = read_click_log(args.log)
     if args.corpus_file:
-        titles = [t.rstrip("\n") for t in open(args.corpus_file)]
-        titles = [t for t in titles if t.strip()]
-    else:
+        raw = [t.rstrip("\n") for t in open(args.corpus_file)]
+        raw = [t for t in raw if t.strip()]
+        # dedupe, keeping first occurrence: with duplicates, BM25 ties
+        # break to the LOWER doc index while title_ix would map the text
+        # to the LAST index, so a click on a duplicated title would be
+        # labeled 0 on the retrieved copy and 'append' could then insert
+        # the same text twice with conflicting labels
         seen: dict[str, None] = {}
+        for t in raw:
+            seen.setdefault(t, None)
+        titles = list(seen)
+        if len(titles) < len(raw):
+            print(f"note: {len(raw) - len(titles)} duplicate corpus "
+                  "titles collapsed (first occurrence kept)")
+    else:
+        seen = {}
         for _, turns in log:
             for _, clicks in turns:
                 for c in clicks:
@@ -118,7 +133,7 @@ def cmd_bm25(args):
         titles = list(seen)
     title_ix = {t: i for i, t in enumerate(titles)}
     index = BM25Index(titles, use_native=not args.no_native)
-    n_turns = n_dropped = n_appended = 0
+    n_turns = n_dropped = n_appended = n_overflow = 0
     with open(args.output, "w") as f:
         for sid, turns in log:
             queries = []
@@ -138,6 +153,13 @@ def cmd_bm25(args):
                         n_appended += 1
                         tail = [d for d in reversed(slate)
                                 if d not in clicked_ids][:len(missing)]
+                        if len(tail) < len(missing):
+                            # more missing positives than replaceable
+                            # slots (distinct clicks ~ slate size): the
+                            # overflow cannot be kept -- count it loudly
+                            # rather than silently breaking the 'every
+                            # turn keeps its positives' guarantee
+                            n_overflow += len(missing) - len(tail)
                         for d, m in zip(tail, sorted(missing)):
                             slate[slate.index(d)] = m
                 qid = f"{sid}_{len(queries)}"
@@ -152,6 +174,11 @@ def cmd_bm25(args):
     print(f"wrote {args.output}: {len(log)} sessions, {n_turns} turns "
           f"({n_appended} click-appended, {n_dropped} dropped), "
           f"corpus {len(titles)} titles")
+    if n_overflow:
+        print(f"WARNING: {n_overflow} clicked positives could not fit "
+              f"their turn's slate (more distinct clicks than "
+              f"replaceable slots at --num_candidates="
+              f"{args.num_candidates}); they were left out")
 
 
 def main(argv=None):

@@ -756,8 +756,7 @@ def dispatch_table():
 
     # tunnel timing jitters +/-15% between passes (PERF.md r3): measure
     # each path twice and keep the min so one hiccup can't flip dispatch
-    def timed2(fn, *args):
-        return min(timed(fn, *args), timed(fn, *args))
+    timed2 = timed_min2
 
     for (t_, e_, h_, dt_) in shapes:
         dtype = jnp.dtype(dt_).type
@@ -824,17 +823,11 @@ def dispatch_table():
                                 scan_ms=round(gscan_ms, 3)))
             report("dispatch_gru", gkern_ms / 1e3, rows=rows,
                    scan_ms=round(gscan_ms, 3))
-    # merge: preserve beam rows AND any lstm/gru support point not
-    # re-measured this run (a `dispatch_table 2000` re-measure must not
-    # discard the 4000/8000/16000 points production dispatch relies on)
-    fresh = {(e["kind"], e["mode"], e["t"], e["e"], e["h"], e["dtype"],
-              e["rows"]) for e in entries}
-    for e in dispatch._load_table():
-        if e.get("kind") in ("beam_topk", "beam_gen"):
-            entries.append(e)
-        elif (e["kind"], e["mode"], e["t"], e["e"], e["h"], e["dtype"],
-              e["rows"]) not in fresh:
-            entries.append(e)
+    # merge: preserve beam-family rows AND any lstm/gru support point not
+    # re-measured this run (ops.dispatch.merge_rnn_entries, unit-tested --
+    # the old inline merge KeyError'd on beam_bk/beam_gen_pipe rows and
+    # would have lost the whole multi-minute run before write_table)
+    entries = dispatch.merge_rnn_entries(entries, dispatch._load_table())
     dispatch.write_table(entries)
     print(json.dumps({"exp": "dispatch_table",
                       "written": str(dispatch.TABLE_PATH),
@@ -858,9 +851,7 @@ def dispatch_table_beam():
     Bq, Hh = 320, 256
     V = VOCAB
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=5),
-                   timed(fn, *args, warmup=0, iters=5))
+    timed2 = functools.partial(timed_min2, iters=5)
 
     def scan16(method, kc, k):
         @jax.jit
@@ -1026,9 +1017,7 @@ def score_parts():
     def p_full(m, b):
         return red(m.score(b))
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=3, iters=20),
-                   timed(fn, *args, warmup=0, iters=20))
+    timed2 = functools.partial(timed_min2, warmup=3, iters=20)
 
     stages = [("gather", p_gather), ("doc_encoder", p_docenc),
               ("query_encoder", p_qenc), ("doc_pool", p_pool),
@@ -1554,7 +1543,7 @@ def suggest():
     for beam in (1, 5):
         ms = timed(mk(beam), params, batch, warmup=2, iters=10)
         report("decode_full", ms, beam=beam,
-               qps=round(64 * 5 / ms, 1))
+               qps=round(bench_mod.B * bench_mod.S / ms, 1))
 
 
 def dispatch_table_beamgen():
@@ -1579,20 +1568,26 @@ def dispatch_table_beamgen():
     Bq = 320
     V = VOCAB
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=5),
-                   timed(fn, *args, warmup=0, iters=5))
+    timed2 = functools.partial(timed_min2, iters=5)
 
     def scan16(impl):
         @jax.jit
         def run(h, table_t, prev):
             def step(carry, _):
-                vals, idx, lse = impl(h, table_t)
-                total = carry[:, None] + (vals - lse[:, None])
+                scale, totals = carry
+                # the generator's input must depend on the carry: a body
+                # whose ops consume only loop-invariant inputs is HOISTED
+                # by XLA and 16 "steps" price ONE call (CLAUDE.md lesson;
+                # this body had exactly that defect until round-4 review
+                # -- the pre-fix beam_gen rows understated both sides)
+                vals, idx, lse = impl(h * scale, table_t)
+                total = totals[:, None] + (vals - lse[:, None])
                 top, i2 = jax.lax.top_k(total.reshape(Bq, -1),
                                         total.shape[-1] - 1)
-                return carry, top.sum() + i2.sum() + idx.sum()
-            _, outs = jax.lax.scan(step, prev, jnp.arange(16))
+                scale = (vals[0, 0] * 1e-6 + 1.0).astype(h.dtype)
+                return (scale, totals), top.sum() + i2.sum() + idx.sum()
+            init = (jnp.asarray(1.0, h.dtype), prev)
+            _, outs = jax.lax.scan(step, init, jnp.arange(16))
             return outs
         return run
 
@@ -1664,14 +1659,12 @@ def beam_fused_e2e():
                 var, st, toks, mem_k, mask_k, method=model.decode_step)
         return beam_search(step, state, rows, 16, 5)
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=10),
-                   timed(fn, *args, warmup=0, iters=10))
+    timed2 = timed_min2
 
     for fused in (False, True):
         ms = timed2(run(fused), params, batch)
         report("beam_fused_e2e", ms, fused=fused,
-               qps=round(64 * 5 / ms, 1))
+               qps=round(bench_mod.B * bench_mod.S / ms, 1))
     # decoded-output parity on-chip (sequences must match exactly)
     s1, sc1 = jax.device_get(run(False)(params, batch))
     s2, sc2 = jax.device_get(run(True)(params, batch))
@@ -1703,9 +1696,7 @@ def beam_parts_fused():
     var = {"params": params}
     K, kc = 5, 6
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=10),
-                   timed(fn, *args, warmup=0, iters=10))
+    timed2 = timed_min2
 
     @jax.jit
     def init_only(params, batch):
@@ -1813,9 +1804,7 @@ def dispatch_table_beambk():
             return beam_search(step, state, rows, 16, K, bookkeeping=bk)
         return f
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=10),
-                   timed(fn, *args, warmup=0, iters=10))
+    timed2 = timed_min2
 
     widths = [int(a) for a in sys.argv[2:]] or [5]
     new = []
@@ -1873,9 +1862,7 @@ def dispatch_table_beamgen_pipe():
     Bq = memory0.shape[0]
     table_t = params["embeddings"]["embedding"].T.astype(jnp.bfloat16)
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=10),
-                   timed(fn, *args, warmup=0, iters=10))
+    timed2 = timed_min2
 
     widths = [int(a) for a in sys.argv[2:]] or [5]
     new = []
@@ -1995,9 +1982,7 @@ def beam_bk_alone():
             return st, (base, i1, base[:, 0] * 0.1)
         return step
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=10),
-                   timed(fn, *args, warmup=0, iters=10))
+    timed2 = timed_min2
 
     widths = [int(a) for a in sys.argv[2:]] or [5]
     for K in widths:
@@ -2063,9 +2048,7 @@ def beam_slope():
     table_t = params["embeddings"]["embedding"].T.astype(jnp.bfloat16)
     V = table_t.shape[1]
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=10),
-                   timed(fn, *args, warmup=0, iters=10))
+    timed2 = timed_min2
 
     lens = (8, 16, 32)
 
@@ -2152,9 +2135,7 @@ def scan_floor():
     dominated by per-iteration cost, not by its ops -- this experiment
     separates loop-trip overhead (amortized by unroll) from
     carry-size-proportional cost (buffer copies; unroll-insensitive)."""
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=10),
-                   timed(fn, *args, warmup=0, iters=10))
+    timed2 = timed_min2
 
     big = [jnp.ones((1600, 128), jnp.float32) * (1 + i * 0.1)
            for i in range(5)]
@@ -2203,14 +2184,12 @@ def greedy_fused_e2e():
             return greedy_decode(step, state, rows, 16)
         return jax.jit(impl)
 
-    def timed2(fn, *args):
-        return min(timed(fn, *args, warmup=2, iters=10),
-                   timed(fn, *args, warmup=0, iters=10))
+    timed2 = timed_min2
 
     for fused in (False, True):
         ms = timed2(run(fused), params, batch)
         report("greedy_fused_e2e", ms, fused=fused,
-               qps=round(64 * 5 / ms, 1))
+               qps=round(bench_mod.B * bench_mod.S / ms, 1))
     s1, sc1 = jax.device_get(run(False)(params, batch))
     s2, sc2 = jax.device_get(run(True)(params, batch))
     mismatch = int((np.asarray(s1) != np.asarray(s2)).sum())

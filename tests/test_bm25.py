@@ -165,3 +165,49 @@ def test_prepare_data_bm25_drop_policy(tmp_path):
           "--corpus_file", str(corpus), "--num_candidates", "1",
           "--on_missing_click", "drop", "--no_native"])
     assert out.read_text() == ""
+
+
+def test_prepare_data_bm25_duplicate_corpus_titles(tmp_path, capsys):
+    """Duplicate titles in --corpus_file are collapsed to the first
+    occurrence: with duplicates kept, BM25 retrieves the lower index
+    while title_ix maps the text to the LAST one, so a click on a
+    duplicated title would be labeled 0 and 'append' could insert the
+    same text twice with conflicting labels."""
+    import json as _json
+
+    from context_attentive_ir_tpu.cli.prepare_data import main
+
+    corpus = tmp_path / "titles.txt"
+    corpus.write_text("cheap flights boston\nother title entirely\n"
+                      "cheap flights boston\nfiller one\nfiller two\n")
+    log = tmp_path / "log.tsv"
+    log.write_text("s1\tcheap flights\tcheap flights boston\n")
+    out = tmp_path / "sessions.jsonl"
+    main(["bm25", "--log", str(log), "--output", str(out),
+          "--corpus_file", str(corpus), "--num_candidates", "3",
+          "--no_native"])
+    assert "1 duplicate corpus titles collapsed" in capsys.readouterr().out
+    turn = _json.loads(out.read_text())["query"][0]
+    titles = [c["title"] for c in turn["candidates"]]
+    assert len(set(titles)) == len(titles)        # no duplicate slate rows
+    labels = {c["title"]: c["label"] for c in turn["candidates"]}
+    assert labels["cheap flights boston"] == 1
+
+
+def test_prepare_data_bm25_append_overflow_warns(tmp_path, capsys):
+    """More distinct clicked positives than replaceable slate slots:
+    'append' keeps what fits and warns loudly about the rest instead of
+    silently violating its every-turn-keeps-its-positives contract."""
+    from context_attentive_ir_tpu.cli.prepare_data import main
+
+    corpus = tmp_path / "titles.txt"
+    corpus.write_text("alpha match\nbravo unrelated\ncharlie unrelated\n")
+    log = tmp_path / "log.tsv"
+    # one turn, two distinct clicks, slate of 1 -> at most one positive fits
+    log.write_text("s1\tmatch\tbravo unrelated\n"
+                   "s1\tmatch\tcharlie unrelated\n")
+    out = tmp_path / "sessions.jsonl"
+    main(["bm25", "--log", str(log), "--output", str(out),
+          "--corpus_file", str(corpus), "--num_candidates", "1",
+          "--no_native"])
+    assert "WARNING: 1 clicked positives" in capsys.readouterr().out

@@ -205,3 +205,31 @@ def test_beam_topk_unmeasured_table_is_exact():
     rows = [x for x in dispatch._load_table() if x["kind"] == "beam_topk"]
     if not rows:  # pre-measurement state: policy must be exact
         assert not dispatch.prefer_chunked_topk(50_000, 6)
+
+
+def test_merge_rnn_entries_preserves_beam_rows():
+    """The regeneration merge must keep every beam-family row (their key
+    schemas have no 'mode'/'t'/... -- the pre-fix inline merge KeyError'd
+    on beam_bk/beam_gen_pipe and lost the run) and every RNN support
+    point not re-measured, while replacing re-measured ones."""
+    old_rows = [
+        _entry(2000, kernel_ms=1.0, scan_ms=2.0),            # re-measured
+        _entry(8000, kernel_ms=3.0, scan_ms=2.5),            # kept
+        _entry(2000, kernel_ms=1.1, scan_ms=2.1, mode="train"),  # kept
+        dict(kind="beam_topk", v=50_000, kc=6, exact_ms=1.0,
+             chunked_ms=3.0),
+        dict(kind="beam_gen", v=50_000, e=256, kc=6, rows=1600,
+             fused_ms=6.3, xla_ms=8.9, block_r=320, block_v=2048),
+        dict(kind="beam_bk", rows=1600, k=5, fused_ms=29.6,
+             legacy_ms=30.3),
+        dict(kind="beam_gen_pipe", rows=1600, kc=6, pipe_ms=30.0,
+             serial_ms=29.8),
+    ]
+    new_rows = [_entry(2000, kernel_ms=0.9, scan_ms=2.0)]
+    merged = dispatch.merge_rnn_entries(new_rows, old_rows)
+    kinds = sorted(e["kind"] for e in merged)
+    assert kinds == ["beam_bk", "beam_gen", "beam_gen_pipe", "beam_topk",
+                     "lstm", "lstm", "lstm"]
+    infer_2000 = [e for e in merged if e["kind"] == "lstm"
+                  and e["mode"] == "infer" and e["rows"] == 2000]
+    assert infer_2000 == [new_rows[0]]      # fresh row replaced the stale
