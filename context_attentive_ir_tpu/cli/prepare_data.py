@@ -107,6 +107,13 @@ def cmd_bm25(args):
     all-negative (rank metrics then score it as a miss).
     """
     from ..data.bm25 import BM25Index
+    from ..data.dictionary import normalize
+
+    def title_key(text: str) -> str:
+        # the same NFD+casefold normalization BM25 tokenization applies
+        # (data/bm25.py:_tokenize): a click differing from its corpus
+        # title only by case/unicode form must still be labeled 1
+        return " ".join(normalize(t, True) for t in text.split())
 
     log = read_click_log(args.log)
     if args.corpus_file:
@@ -131,22 +138,33 @@ def cmd_bm25(args):
                 for c in clicks:
                     seen.setdefault(c, None)
         titles = list(seen)
-    title_ix = {t: i for i, t in enumerate(titles)}
+    # keyed by normalized title (first corpus occurrence wins), so click
+    # lookups tolerate case/unicode-form differences
+    title_ix: dict[str, int] = {}
+    for i, t in enumerate(titles):
+        title_ix.setdefault(title_key(t), i)
     index = BM25Index(titles, use_native=not args.no_native)
-    n_turns = n_dropped = n_appended = n_overflow = 0
+    n_turns = n_dropped = n_appended = n_overflow = n_unmatched = 0
     with open(args.output, "w") as f:
         for sid, turns in log:
             queries = []
-            for query, clicks in turns:
+            for turn_no, (query, clicks) in enumerate(turns):
                 n_turns += 1
                 idx, _scores = index.search(query, args.num_candidates)
                 slate = [int(i) for i in idx]
-                clicked_ids = {title_ix[c] for c in clicks if c in title_ix}
+                click_keys = {title_key(c) for c in clicks}
+                unmatched = {k for k in click_keys if k not in title_ix}
+                n_unmatched += len(unmatched)
+                clicked_ids = {title_ix[k] for k in click_keys - unmatched}
                 missing = clicked_ids - set(slate)
+                if (missing or unmatched) \
+                        and args.on_missing_click == "drop":
+                    # a click absent from the corpus can never be kept:
+                    # under 'drop' the turn goes too, same as a click the
+                    # slate cannot hold
+                    n_dropped += 1
+                    continue
                 if missing:
-                    if args.on_missing_click == "drop":
-                        n_dropped += 1
-                        continue
                     if args.on_missing_click == "append":
                         # replace the slate tail (lowest-scored docs that
                         # are not themselves clicked) with the positives
@@ -162,7 +180,9 @@ def cmd_bm25(args):
                             n_overflow += len(missing) - len(tail)
                         for d, m in zip(tail, sorted(missing)):
                             slate[slate.index(d)] = m
-                qid = f"{sid}_{len(queries)}"
+                # number by the turn's original position in the session
+                # (stable under 'drop'), not by surviving-queries count
+                qid = f"{sid}_{turn_no}"
                 queries.append({
                     "id": qid, "text": query,
                     "candidates": [
@@ -179,6 +199,11 @@ def cmd_bm25(args):
               f"their turn's slate (more distinct clicks than "
               f"replaceable slots at --num_candidates="
               f"{args.num_candidates}); they were left out")
+    if n_unmatched:
+        print(f"WARNING: {n_unmatched} clicked titles were not in the "
+              f"corpus (after normalization) and could not be labeled; "
+              f"their turns were "
+              f"{'dropped' if args.on_missing_click == 'drop' else 'kept without that positive'}")
 
 
 def main(argv=None):

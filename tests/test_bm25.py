@@ -211,3 +211,79 @@ def test_prepare_data_bm25_append_overflow_warns(tmp_path, capsys):
           "--corpus_file", str(corpus), "--num_candidates", "1",
           "--no_native"])
     assert "WARNING: 1 clicked positives" in capsys.readouterr().out
+
+
+def test_prepare_data_bm25_click_label_is_case_insensitive(tmp_path):
+    """A click differing from its corpus title only by case (or unicode
+    form) retrieves the right document AND gets labeled 1: title lookup
+    goes through the same NFD+casefold normalization BM25 tokenization
+    uses (ADVICE r4)."""
+    import json as _json
+
+    from context_attentive_ir_tpu.cli.prepare_data import main
+
+    corpus = tmp_path / "titles.txt"
+    corpus.write_text("Cheap Flights Boston\nother title entirely\n"
+                      "filler one\n")
+    log = tmp_path / "log.tsv"
+    log.write_text("s1\tcheap flights\tCHEAP FLIGHTS BOSTON\n")
+    out = tmp_path / "sessions.jsonl"
+    main(["bm25", "--log", str(log), "--output", str(out),
+          "--corpus_file", str(corpus), "--num_candidates", "2",
+          "--no_native"])
+    turn = _json.loads(out.read_text())["query"][0]
+    labels = {c["title"]: c["label"] for c in turn["candidates"]}
+    assert labels["Cheap Flights Boston"] == 1
+
+
+def test_prepare_data_bm25_unmatched_click_warns_and_drops(tmp_path,
+                                                           capsys):
+    """A clicked title absent from --corpus_file (even after
+    normalization) is counted loudly, and under --on_missing_click=drop
+    the turn is discarded rather than silently emitted all-negative
+    (ADVICE r4)."""
+    from context_attentive_ir_tpu.cli.prepare_data import main
+
+    corpus = tmp_path / "titles.txt"
+    corpus.write_text("alpha match\nbravo unrelated\n")
+    log = tmp_path / "log.tsv"
+    log.write_text("s1\tmatch\tnot in the corpus at all\n")
+    # keep policy: turn survives all-negative, but warns
+    out = tmp_path / "kept.jsonl"
+    main(["bm25", "--log", str(log), "--output", str(out),
+          "--corpus_file", str(corpus), "--num_candidates", "2",
+          "--on_missing_click", "keep", "--no_native"])
+    assert "WARNING: 1 clicked titles were not in the corpus" \
+        in capsys.readouterr().out
+    assert out.read_text().strip()
+    # drop policy: the turn goes
+    out2 = tmp_path / "dropped.jsonl"
+    main(["bm25", "--log", str(log), "--output", str(out2),
+          "--corpus_file", str(corpus), "--num_candidates", "2",
+          "--on_missing_click", "drop", "--no_native"])
+    assert "dropped" in capsys.readouterr().out
+    assert out2.read_text() == ""
+
+
+def test_prepare_data_bm25_qid_positional_under_drop(tmp_path):
+    """qids number turns by their original session position, so a
+    session whose first turn is dropped emits its second turn as
+    sid_1, not sid_0 (ADVICE r4)."""
+    import json as _json
+
+    from context_attentive_ir_tpu.cli.prepare_data import main
+
+    corpus = tmp_path / "titles.txt"
+    corpus.write_text("alpha beta\nalpha beta gamma unrelated\n"
+                      "delta echo\n")
+    log = tmp_path / "log.tsv"
+    # turn 0: click misses the top-1 slate -> dropped under 'drop'
+    # turn 1: click ranks first -> kept
+    log.write_text("s1\talpha beta\talpha beta gamma unrelated\n"
+                   "s1\tdelta echo\tdelta echo\n")
+    out = tmp_path / "sessions.jsonl"
+    main(["bm25", "--log", str(log), "--output", str(out),
+          "--corpus_file", str(corpus), "--num_candidates", "1",
+          "--on_missing_click", "drop", "--no_native"])
+    sess = _json.loads(out.read_text())
+    assert [q["id"] for q in sess["query"]] == ["s1_1"]

@@ -233,3 +233,36 @@ def test_merge_rnn_entries_preserves_beam_rows():
     infer_2000 = [e for e in merged if e["kind"] == "lstm"
                   and e["mode"] == "infer" and e["rows"] == 2000]
     assert infer_2000 == [new_rows[0]]      # fresh row replaced the stale
+
+
+def test_near_tie_margin_keeps_default(tmp_path):
+    """Bit-exact speed-only decisions (beam_* kinds) require the
+    non-default variant to win by NEAR_TIE_MARGIN (ADVICE r4): ~1-2%
+    table deltas are below the documented +/-15% tunnel jitter, so the
+    simpler default path keeps them."""
+    m = dispatch.NEAR_TIE_MARGIN
+    assert 0 < m < 0.15
+    old = _with_table(tmp_path, [
+        # 2.3% faster fused bookkeeping (the shipped r4 row shape): noise
+        dict(kind="beam_bk", rows=80, k=5, fused_ms=29.61,
+             legacy_ms=30.31),
+        # clear win at another k: honored
+        dict(kind="beam_bk", rows=80, k=3, fused_ms=20.0, legacy_ms=30.0),
+        # 0.6% pipelined win: noise
+        dict(kind="beam_gen_pipe", rows=1600, kc=6, pipe_ms=29.84,
+             serial_ms=30.01),
+        # 1% fused-generator win: noise
+        dict(kind="beam_gen", v=50_000, e=256, kc=6, rows=1600,
+             fused_ms=8.8, xla_ms=8.9),
+        # 1% chunked-topk win: noise
+        dict(kind="beam_topk", v=50_000, kc=6, chunked_ms=8.8,
+             exact_ms=8.9),
+    ])
+    try:
+        assert not dispatch.prefer_fused_bookkeeping(80, 5)
+        assert dispatch.prefer_fused_bookkeeping(80, 3)
+        assert not dispatch.prefer_pipelined_generator(1600, 6)
+        assert not dispatch.prefer_fused_generator(1600, 50_000, 256, 6)
+        assert not dispatch.prefer_chunked_topk(50_000, 6)
+    finally:
+        _restore(old)
