@@ -42,3 +42,46 @@ def test_filter_widths_parsing():
     args = p.parse_args(["--model_type", "cdssm", "--filter_widths", "2,3"])
     cfg = config_from_args(args, default_config(args.model_type))
     assert cfg.filter_widths == (2, 3)
+
+
+def test_main_file_path_end_to_end(tmp_path):
+    """The one public entry point (JSONL file -> cli.main.main -> train ->
+    test -> prediction dump) driven end-to-end at tiny dims (VERDICT r4
+    weak #6).  Covers: data loading from --train_file/--dev_file/
+    --test_file, vocab building, the epoch loop, official test eval, and
+    the dump file the reference's test mode writes (SURVEY.md SS2.9)."""
+    from context_attentive_ir_tpu.cli.main import main
+    from context_attentive_ir_tpu.data import write_fixture
+
+    train = write_fixture(tmp_path / "train.jsonl", n_sessions=12,
+                          n_candidates=6, seed=0)
+    dev = write_fixture(tmp_path / "dev.jsonl", n_sessions=4,
+                        n_candidates=6, seed=1)
+    results = main([
+        "--model_type", "dssm",
+        "--train_file", str(train), "--dev_file", str(dev),
+        "--test_file", str(dev),
+        "--model_dir", str(tmp_path / "runs"), "--model_name", "clismoke",
+        "--num_epochs", "2", "--batch_size", "8", "--test_batch_size", "8",
+        "--display_iter", "5", "--early_stop", "10",
+        "--emsize", "16", "--nhid_ffnn", "16",
+        "--num_candidates", "6", "--max_query_len", "6",
+        "--max_doc_len", "8", "--no-async_checkpoint",
+    ])
+    assert "fit" in results and "test" in results
+    assert 0.0 <= results["test"]["map"] <= 1.0
+    dump = tmp_path / "runs" / "clismoke.test.ranks.jsonl"
+    assert dump.exists() and dump.read_text().strip()
+    # checkpoint artifacts from the fit phase
+    assert (tmp_path / "runs" / "clismoke.mdl").exists()
+    # --only_test reloads the saved model and reproduces the metric
+    retest = main([
+        "--model_type", "dssm", "--only_test",
+        "--test_file", str(dev),
+        "--model_dir", str(tmp_path / "runs"), "--model_name", "clismoke",
+        "--test_batch_size", "8",
+        "--emsize", "16", "--nhid_ffnn", "16",
+        "--num_candidates", "6", "--max_query_len", "6",
+        "--max_doc_len", "8",
+    ])
+    assert retest["test"]["map"] == results["test"]["map"]
