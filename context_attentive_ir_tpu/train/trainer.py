@@ -34,6 +34,7 @@ from ..data import (
     rank_examples,
     suggest_examples,
 )
+from ..data.pipeline import PackedBucketedIterator, PackedIterator, prefetch
 from ..models import build_model, task_family
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils import AverageMeter, MetricsWriter, Timer, format_table
@@ -60,23 +61,27 @@ def shapes_from_config(config: ModelConfig) -> ShapeConfig:
 def make_iterator(sessions: list[Session], config: ModelConfig,
                   word_dict: Dictionary, batch_size: int,
                   shuffle: bool, seed: int, fast=None,
-                  session_buckets: tuple[int, ...] = ()):
+                  session_buckets: tuple[int, ...] = (),
+                  pack: bool = False):
     """Batch family mirrors the reference's three Dataset families.
 
     ``fast`` is an optional ``data.fast.FastVocab`` handle routing the
     hot vectorization loops through the native fastvec library.
+    ``pack=True`` vectorizes the whole example list once and serves
+    batches as row gathers (``data.pipeline.PackedIterator`` -- the
+    reference ``--data_workers`` analogue, bit-identical batch stream);
+    bucketed multitask iteration stays unpacked (one shape per bucket).
     """
     family = task_family(config.model_type)
     shapes = shapes_from_config(config)
     if family == "ranker":
         ex = rank_examples(sessions)
-        collate = lambda e: build_rank_batch(e, word_dict, shapes,
-                                             batch_size=batch_size,
-                                             fast=fast)
+        collate = lambda e, batch_size=batch_size: build_rank_batch(
+            e, word_dict, shapes, batch_size=batch_size, fast=fast)
     elif family == "recommender":
         ex = suggest_examples(sessions)
-        collate = lambda e: build_suggest_batch(e, word_dict, shapes,
-                                                batch_size=batch_size)
+        collate = lambda e, batch_size=batch_size: build_suggest_batch(
+            e, word_dict, shapes, batch_size=batch_size)
     else:
         ex = sessions
         if session_buckets:
@@ -85,17 +90,30 @@ def make_iterator(sessions: list[Session], config: ModelConfig,
             buckets = tuple(min(b, shapes.max_session_len)
                             for b in session_buckets)
 
-            def collate_b(e, bucket):
+            def collate_b(e, bucket, batch_size=batch_size):
                 sh = _dc.replace(shapes, max_session_len=bucket)
                 return build_session_batch(e, word_dict, sh,
                                            batch_size=batch_size, fast=fast)
 
+            if pack and ex:
+                it = PackedBucketedIterator(
+                    ex, lambda s: len(s.queries), collate_b, batch_size,
+                    buckets, shuffle=shuffle, seed=seed)
+                logger.info("packed %d sessions into %.1f MB across %d "
+                            "buckets", len(ex), it.nbytes / 2**20,
+                            len(it._packs))
+                return it
             return BucketedIterator(ex, lambda s: len(s.queries),
                                     collate_b, batch_size, buckets,
                                     shuffle=shuffle, seed=seed)
-        collate = lambda e: build_session_batch(e, word_dict, shapes,
-                                                batch_size=batch_size,
-                                                fast=fast)
+        collate = lambda e, batch_size=batch_size: build_session_batch(
+            e, word_dict, shapes, batch_size=batch_size, fast=fast)
+    if pack and ex:
+        it = PackedIterator(ex, collate, batch_size, shuffle=shuffle,
+                            seed=seed)
+        logger.info("packed %d examples into %.1f MB (one-time collate)",
+                    len(ex), it.nbytes / 2**20)
+        return it
     return BatchIterator(ex, collate, batch_size, shuffle=shuffle, seed=seed)
 
 
@@ -180,7 +198,8 @@ class Trainer:
         train_it = make_iterator(train_sessions, config, self.word_dict,
                                  run.batch_size, shuffle=True, seed=run.seed,
                                  fast=self.fast,
-                                 session_buckets=run.session_buckets)
+                                 session_buckets=run.session_buckets,
+                                 pack=run.pack_cache)
         dev_batches = list(make_iterator(
             dev_sessions, config, self.word_dict, run.test_batch_size,
             shuffle=False, seed=0, fast=self.fast))
@@ -193,7 +212,10 @@ class Trainer:
         for epoch in range(self.start_epoch, run.num_epochs):
             loss_meter, timer = AverageMeter(), Timer()
             m = None
-            for i, batch in enumerate(train_it.epoch(epoch)):
+            # prefetch: host-collate batch t+1..t+depth while the device
+            # runs batch t (the reference --data_workers overlap)
+            for i, batch in enumerate(prefetch(train_it.epoch(epoch),
+                                               run.prefetch_batches)):
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
                 self.state, m = self.train_step(self.state, batch, self.rng)
