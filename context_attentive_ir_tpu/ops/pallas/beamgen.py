@@ -50,11 +50,27 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _beamgen_kernel(x_ref, t_ref, vals_ref, idx_ref, lse_ref, m_s, s_s, *,
-                    kc: int, v_logical: int, block_v: int, n_v: int):
+def _beamgen_kernel(x_ref, t_ref, *refs,
+                    kc: int, v_logical: int, block_v: int, n_v: int,
+                    has_scale: bool = False):
+    if has_scale:
+        # int8 tied table + per-vocab-column scale (the serve-time
+        # quantized-embedding layout, ops/layers.Embeddings.attend):
+        # logits_v = s_v * (x @ q_v) -- scale applied AFTER the matmul,
+        # exactly like the XLA quantized path.  The table stream through
+        # HBM halves (int8 vs bf16); int8 -> bf16 dequant of each tile is
+        # VPU work inside VMEM.
+        s_ref, vals_ref, idx_ref, lse_ref, m_s, s_s = refs
+    else:
+        vals_ref, idx_ref, lse_ref, m_s, s_s = refs
     j = pl.program_id(1)
-    scores = jnp.dot(x_ref[:], t_ref[:],
+    t = t_ref[:]
+    if has_scale:
+        t = t.astype(jnp.bfloat16)
+    scores = jnp.dot(x_ref[:], t,
                      preferred_element_type=jnp.float32)      # [RB, VT]
+    if has_scale:
+        scores = scores * s_ref[:]
     col = (jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
            + j * block_v)
     # mask table pad columns (only the tail tile has any; one cheap op)
@@ -163,7 +179,8 @@ def _beamgen_pipelined_kernel(x_ref, t_ref, vals_ref, idx_ref, lse_ref,
                                              "interpret", "pipeline"))
 def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
                        block_r: int = 320, block_v: int = 2048,
-                       interpret: bool = False, pipeline: bool = False):
+                       interpret: bool = False, pipeline: bool = False,
+                       scale: jnp.ndarray | None = None):
     """Fused ``top_k(x @ table_t, kc)`` + ``logsumexp(x @ table_t)``.
 
     x [R, E] (bf16/f32), table_t [E, V] -> (vals [R, kc] f32,
@@ -172,11 +189,20 @@ def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
     ``pipeline=True`` selects the software-pipelined kernel (matmul of
     vocab tile j overlaps selection of tile j-1 via a double-buffered
     VMEM score scratch); bit-identical outputs, measured dispatch.
+
+    ``scale`` [V] f32: int8-table mode (round 5, VERDICT r4 #1) --
+    ``table_t`` is the TRANSPOSED per-row-quantized int8 table and
+    logits are ``scale_v * (x @ q_v)``, the same math as the XLA
+    quantized tied generator (ops/layers.Embeddings.attend).  Halves the
+    dominant HBM stream (the [E, V] table crosses HBM once per row
+    block).  Serial kernel only.
     """
     assert 0 < kc <= _KPAD
     r, e = x.shape
     e2, v = table_t.shape
     assert e == e2, (x.shape, table_t.shape)
+    assert scale is None or not pipeline, (
+        "int8-table mode is serial-kernel only")
     rp = _ceil_to(r, block_r)
     vp = _ceil_to(v, block_v)
     ep = _ceil_to(e, 128)
@@ -184,6 +210,9 @@ def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
         x = jnp.pad(x, ((0, rp - r), (0, ep - e)))
     if vp != v or ep != e:
         table_t = jnp.pad(table_t, ((0, ep - e), (0, vp - v)))
+    if scale is not None:
+        scale = jnp.pad(scale.astype(jnp.float32).reshape(1, v),
+                        ((0, 0), (0, vp - v)))
     n_r, n_v = rp // block_r, vp // block_v
 
     if pipeline:
@@ -199,22 +228,29 @@ def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
         ]
     else:
         kern = functools.partial(_beamgen_kernel, kc=kc, v_logical=v,
-                                 block_v=block_v, n_v=n_v)
+                                 block_v=block_v, n_v=n_v,
+                                 has_scale=scale is not None)
         grid = (n_r, n_v)
         t_map = lambda i, j: (0, j)
         scratch = [
             pltpu.VMEM((block_r, 1), jnp.float32),   # running max
             pltpu.VMEM((block_r, 1), jnp.float32),   # running sumexp
         ]
+    in_specs = [
+        pl.BlockSpec((block_r, ep), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ep, block_v), t_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, table_t]
+    if scale is not None:
+        in_specs.append(pl.BlockSpec((1, block_v), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(scale)
     vals, idx, lse = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_r, ep), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ep, block_v), t_map,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((block_r, _KPAD), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -237,16 +273,24 @@ def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
             transcendentals=rp * vp,
         ),
         interpret=interpret,
-    )(x, table_t)
+    )(*operands)
     return vals[:r, :kc], idx[:r, :kc], lse[:r, 0]
 
 
 def generator_topk_lse_reference(x: jnp.ndarray, table_t: jnp.ndarray,
-                                 kc: int):
+                                 kc: int,
+                                 scale: jnp.ndarray | None = None):
     """XLA reference: materialized logits -> top_k + logsumexp (exactly
-    what decode/beam.py does today on raw logits)."""
-    logits = jnp.dot(x, table_t,
-                     preferred_element_type=jnp.float32)
+    what decode/beam.py does today on raw logits).  ``scale`` [V]
+    selects the int8-table math (``scale_v * (x @ q_v)``, the quantized
+    tied generator -- ops/layers.Embeddings.attend)."""
+    if scale is not None:
+        logits = jnp.dot(x, table_t.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        logits = logits * scale.astype(jnp.float32)[None, :]
+    else:
+        logits = jnp.dot(x, table_t,
+                         preferred_element_type=jnp.float32)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
     vals, idx = jax.lax.top_k(logits, kc)
     return vals, idx.astype(jnp.int32), lse

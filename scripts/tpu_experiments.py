@@ -736,6 +736,7 @@ def dispatch_table():
     from context_attentive_ir_tpu.ops import dispatch
     from context_attentive_ir_tpu.ops.pallas.gru import (
         _gru_fused_impl,
+        gru_pallas_fused,
         gru_pallas_reference,
     )
     from context_attentive_ir_tpu.ops.pallas.lstm import (
@@ -823,6 +824,31 @@ def dispatch_table():
                                 scan_ms=round(gscan_ms, 3)))
             report("dispatch_gru", gkern_ms / 1e3, rows=rows,
                    scan_ms=round(gscan_ms, 3))
+
+            if measure_train:
+                # GRU training pair (chunked-remat bwd) vs scan autodiff
+                # (VERDICT r4 missing #4: the always-kernel training
+                # default was pure extrapolation for every GRU shape)
+                def gloss_k(x, w_ih3, b_ih3, w_hh3, b_hh3):
+                    return jnp.sum(gru_pallas_fused(
+                        x, mask, w_ih3, b_ih3, w_hh3, b_hh3)
+                        .astype(jnp.float32) ** 2)
+
+                def gloss_s(x, w_ih3, b_ih3, w_hh3, b_hh3):
+                    return jnp.sum(gru_pallas_reference(
+                        x, mask, w_ih3, b_ih3, w_hh3, b_hh3)
+                        .astype(jnp.float32) ** 2)
+
+                ggk = jax.jit(jax.grad(gloss_k, argnums=(0, 1, 2, 3, 4)))
+                ggs = jax.jit(jax.grad(gloss_s, argnums=(0, 1, 2, 3, 4)))
+                gktr = timed2(ggk, x, w_ih3, b_ih3, w_hh3, b_hh3) * 1e3
+                gstr = timed2(ggs, x, w_ih3, b_ih3, w_hh3, b_hh3) * 1e3
+                entries.append(dict(kind="gru", mode="train", t=t_, e=e_,
+                                    h=h_, dtype=dt_, rows=rows,
+                                    kernel_ms=round(gktr, 3),
+                                    scan_ms=round(gstr, 3)))
+                report("dispatch_gru_train", gktr / 1e3, rows=rows, t=t_,
+                       e=e_, dtype=dt_, scan_ms=round(gstr, 3))
     # merge: preserve beam-family rows AND any lstm/gru support point not
     # re-measured this run (ops.dispatch.merge_rnn_entries, unit-tested --
     # the old inline merge KeyError'd on beam_bk/beam_gen_pipe rows and
@@ -1547,76 +1573,77 @@ def suggest():
 
 
 def dispatch_table_beamgen():
-    """Fused Pallas generator+top-k+lse kernel vs the XLA formulation
-    (logits matmul -> logsumexp -> lax.top_k), measured INSIDE a 16-step
-    jitted scan at the bench decode shape (VERDICT r3 next-round #3: the
-    [B*K, V] logits round trip is the one unexplored structural idea in
-    beam decode).  Writes ``beam_gen`` entries consumed by
-    ``ops.dispatch.prefer_fused_generator``.  Usage:
-    dispatch_table_beamgen [kc...] -- each variant is a cold multi-minute
-    Mosaic compile; keep the list short.  Env BEAMGEN_TILES="br:bv,..."
-    overrides the tile sweep."""
-    import os
+    """Fused Pallas generator+top-k+lse kernel vs the XLA formulation,
+    measured as END-TO-END DECODE SLOPES (round 5 rewrite; VERDICT r4
+    weak #1).  The round-4 harness timed both formulations inside a
+    synthetic carry-threaded 16-step scan; honest for the kernel, but
+    the XLA side hit a context-dependent lax.top_k pathology (86.9
+    ms/step in that scan vs 12.9 ms as a bare jitted call vs 2.9 ms/step
+    inside the real production beam scan -- beam_xla_slope /
+    beamgen_xla_anatomy, round 5).  Microbench magnitudes for this op
+    are therefore meaningless outside the production program; rows now
+    come from the only context that matters: full CARS decode at T=2 vs
+    T=16, per-step cost = (t16 - t2) / 14, generator step forced each
+    way.  kc=2 measures GREEDY decode (rows = Bq); kc=K+1 measures
+    beam-K (rows = Bq*K).  Usage: dispatch_table_beamgen [kc...]
+    (default 6 2).  Production tiles (320:2048) only -- tile sweeps via
+    e2e slopes would cost a fresh multi-minute Mosaic compile per tile.
+    """
+    import bench as bench_mod
 
-    from context_attentive_ir_tpu.ops import dispatch
-    from context_attentive_ir_tpu.ops.pallas.beamgen import (
-        generator_topk_lse,
-        generator_topk_lse_reference,
+    from context_attentive_ir_tpu.decode import (
+        beam_search,
+        greedy_decode,
+        make_fused_beam_step,
     )
+    from context_attentive_ir_tpu.ops import dispatch
 
-    rng = np.random.RandomState(0)
-    Bq = 320
-    V = VOCAB
+    _cfg, model, params, batch = bench_mod._build_cars(True)
 
-    timed2 = functools.partial(timed_min2, iters=5)
+    def run(kc, fused, T):
+        K = kc - 1
 
-    def scan16(impl):
         @jax.jit
-        def run(h, table_t, prev):
-            def step(carry, _):
-                scale, totals = carry
-                # the generator's input must depend on the carry: a body
-                # whose ops consume only loop-invariant inputs is HOISTED
-                # by XLA and 16 "steps" price ONE call (CLAUDE.md lesson;
-                # this body had exactly that defect until round-4 review
-                # -- the pre-fix beam_gen rows understated both sides)
-                vals, idx, lse = impl(h * scale, table_t)
-                total = totals[:, None] + (vals - lse[:, None])
-                top, i2 = jax.lax.top_k(total.reshape(Bq, -1),
-                                        total.shape[-1] - 1)
-                scale = (vals[0, 0] * 1e-6 + 1.0).astype(h.dtype)
-                return (scale, totals), top.sum() + i2.sum() + idx.sum()
-            init = (jnp.asarray(1.0, h.dtype), prev)
-            _, outs = jax.lax.scan(step, init, jnp.arange(16))
-            return outs
-        return run
+        def fn(params, batch):
+            var = {"params": params}
+            state, memory, mask = model.apply(var, batch,
+                                              method=model.decode_init)
+            rows = memory.shape[0]
+            if kc == 2:
+                mem_k, mask_k = memory, mask
+            else:
+                rep = lambda x: jnp.repeat(x, K, axis=0)
+                mem_k, mask_k = rep(memory), rep(mask)
+            if fused:
+                step = make_fused_beam_step(model, var, params, mem_k,
+                                            mask_k, kc=kc)
+            else:
+                step = lambda st, toks: model.apply(
+                    var, st, toks, mem_k, mask_k,
+                    method=model.decode_step)
+            if kc == 2:
+                return greedy_decode(step, state, rows, T)
+            return beam_search(step, state, rows, T, K)
+        return fn
 
-    kcs = [int(a) for a in sys.argv[2:]] or [6]
-    tiles = [tuple(int(v) for v in t.split(":")) for t in os.environ.get(
-        "BEAMGEN_TILES", "320:2048").split(",")]
+    timed2 = functools.partial(timed_min2, iters=3)
+    Bq = bench_mod.B * bench_mod.S
+
+    kcs = [int(a) for a in sys.argv[2:]] or [6, 2]
     new = []
     for kc in kcs:
-        k = kc - 1
-        r = Bq * k
-        h = jnp.asarray(rng.normal(size=(r, E)) * 0.3, jnp.bfloat16)
-        tt = jnp.asarray(rng.normal(size=(E, V)) * 0.3, jnp.bfloat16)
-        prev = jnp.zeros((r,), jnp.float32)
-        xla_ms = timed2(scan16(lambda h, t: generator_topk_lse_reference(
-            h, t, kc)), h, tt, prev) * 1e3
-        best = None
-        for br, bv in tiles:
-            f_ms = timed2(scan16(lambda h, t, br=br, bv=bv:
-                                 generator_topk_lse(h, t, kc, block_r=br,
-                                                    block_v=bv)),
-                          h, tt, prev) * 1e3
-            report("dispatch_beamgen", f_ms / 1e3, kc=kc, rows=r,
-                   block_r=br, block_v=bv, xla_ms=round(xla_ms, 3))
-            if best is None or f_ms < best[0]:
-                best = (f_ms, br, bv)
-        new.append(dict(kind="beam_gen", v=V, e=E, kc=kc, rows=r,
-                        fused_ms=round(best[0], 3),
-                        xla_ms=round(xla_ms, 3),
-                        block_r=best[1], block_v=best[2]))
+        slope = {}
+        for fused in (False, True):
+            t2 = timed2(run(kc, fused, 2), params, batch) * 1e3
+            t16 = timed2(run(kc, fused, 16), params, batch) * 1e3
+            slope[fused] = (t16 - t2) / 14
+            report("dispatch_beamgen", slope[fused] / 1e3, kc=kc,
+                   fused=fused, t2_ms=round(t2, 2), t16_ms=round(t16, 2))
+        rows = Bq * (kc - 1) if kc > 2 else Bq
+        new.append(dict(kind="beam_gen", v=VOCAB, e=E, kc=kc, rows=rows,
+                        fused_ms=round(slope[True], 3),
+                        xla_ms=round(slope[False], 3),
+                        block_r=320, block_v=2048, method="e2e_slope"))
     # keep beam_gen rows at other (kc, rows) keys: a `dispatch_table_
     # beamgen 2` run must not discard the measured kc=6 beam row
     fresh = {(x["kc"], x["rows"], x["v"], x["e"]) for x in new}
@@ -1627,6 +1654,59 @@ def dispatch_table_beamgen():
     print(json.dumps({"exp": "dispatch_table_beamgen",
                       "written": str(dispatch.TABLE_PATH),
                       "n_entries": len(merged)}), flush=True)
+
+
+
+
+def beam_shortlist_e2e():
+    """Candidate-shortlist beam decode, measured END-TO-END (round 5,
+    VERDICT r4 weak #3): full CARS beam-5 decode at the bench shape with
+    the fused generator restricted to a C-token shortlist
+    (decode/shortlist.py) vs the full-vocab fused decode.  Usage:
+    beam_shortlist_e2e [C...] (default 8192 4096 2048).  Quality is
+    gated separately on trained models (scripts/shortlist_study.py);
+    this measures the speed side at production shape."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (
+        beam_search,
+        make_fused_beam_step,
+    )
+    from context_attentive_ir_tpu.decode.shortlist import build_shortlist
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+    Bq = bench_mod.B * bench_mod.S
+
+    def run(sl):
+        def impl(params, batch, sl_ids=None):
+            var = {"params": params}
+            state, memory, mask = model.apply(var, batch,
+                                              method=model.decode_init)
+            rep = lambda x: jnp.repeat(x, 5, axis=0)
+            step = make_fused_beam_step(
+                model, var, params, rep(memory), rep(mask), kc=6,
+                shortlist=sl_ids)
+            return beam_search(step, state, Bq, 16, 5)
+        if sl is None:
+            return jax.jit(impl)
+        fn = jax.jit(impl)
+        return lambda p, b: fn(p, b, sl)
+
+    timed2 = functools.partial(timed_min2, iters=3)
+    # full-vocab fused baseline
+    full = run(None)
+    ms_full = timed2(full, params, batch) * 1e3
+    report("beam_shortlist_e2e", ms_full / 1e3, c=VOCAB,
+           qps=round(Bq / ms_full * 1e3, 1))
+    sizes = [int(a) for a in sys.argv[2:]] or [8192, 4096, 2048]
+    rng = np.random.RandomState(0)
+    for c in sizes:
+        sl = jnp.asarray(build_shortlist(
+            c, VOCAB, source_ids=np.asarray(batch.query)))
+        ms = timed2(run(sl), params, batch) * 1e3
+        report("beam_shortlist_e2e", ms / 1e3, c=c,
+               qps=round(Bq / ms * 1e3, 1),
+               speedup=round(ms_full / ms, 2))
 
 
 def beam_fused_e2e():
@@ -1834,6 +1914,244 @@ def dispatch_table_beambk():
     print(json.dumps({"exp": "dispatch_table_beambk",
                       "written": str(dispatch.TABLE_PATH),
                       "n_entries": len(merged)}), flush=True)
+
+
+def int8_probe():
+    """Quantified headroom check for int8 compute in the serving step
+    (VERDICT r4 next-round #1): the three dominant matmul shapes --
+    doc-encoder input projection (hoisted [R*T, E] @ [E, 4H]), the
+    in-scan recurrent matmul ([R, H] @ [H, 4H], 16-step carry-threaded),
+    and the query-aware pool projection ([R*Ld, H2] @ [H2, H2]) -- each
+    timed bf16 vs weights-int8 + DYNAMIC per-row activation int8 with
+    int32 accumulation (v5e's 2x-peak MXU path; weights-only-with-bf16-
+    activations has no MXU speedup by construction, so dynamic is the
+    only candidate with headroom).  All carry-threaded per the scan_floor
+    lesson.  Also probes the beamgen byte side: streaming the [E, V]
+    generator table bf16 vs int8+dequant in a plain XLA matmul."""
+    rng = np.random.RandomState(0)
+    R = ROWS  # 16000 flattened doc rows at the bench shape
+
+    def q_w(w):
+        """Per-output-column int8 weight quantization."""
+        s = jnp.max(jnp.abs(w), axis=0) / 127.0
+        wq = jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(jnp.int8)
+        return wq, s.astype(jnp.float32)
+
+    def dyn_matmul_i8(x, wq, ws):
+        """Dynamic per-row activation int8 -> int8xint8 MXU -> rescale."""
+        xs = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+        xs = jnp.maximum(xs, 1e-8)
+        xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * xs * ws[None, :]
+
+    def scan16(body, x0):
+        @jax.jit
+        def run(x):
+            def step(carry, _):
+                out = body(x * carry)
+                return (out[0, 0] * 1e-6 + 1.0).astype(x.dtype), out.sum()
+            _, outs = jax.lax.scan(step, jnp.asarray(1.0, x.dtype),
+                                   jnp.arange(16))
+            return outs
+        return run
+
+    shapes = [
+        ("enc_proj", (R * T, E, 4 * H)),       # hoisted input projection
+        ("enc_hh", (R, H, 4 * H)),             # per-step recurrent matmul
+        ("pool_proj", (R * 30, 2 * H, 2 * H)),  # W_p over doc token states
+    ]
+    for name, (m, k, n) in shapes:
+        x = jnp.asarray(rng.normal(size=(m, k)) * 0.3, jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(k, n)) * 0.1, jnp.float32)
+        wbf = w.astype(jnp.bfloat16)
+        wq, ws = q_w(w)
+        bf_ms = timed_min2(scan16(
+            lambda xx: jnp.dot(xx, wbf,
+                               preferred_element_type=jnp.float32), x),
+            x, iters=3) * 1e3
+        i8_ms = timed_min2(scan16(
+            lambda xx: dyn_matmul_i8(xx, wq, ws), x), x, iters=3) * 1e3
+        report("int8_probe", bf_ms / 1e3, shape=name, m=m, k=k, n=n,
+               per_step_bf16_ms=round(bf_ms / 16, 3),
+               per_step_int8_ms=round(i8_ms / 16, 3),
+               int8_speedup=round(bf_ms / i8_ms, 3))
+
+    # byte-side probe at the beamgen shape: bf16 table vs int8 table
+    # (dequantized in-graph -- measures the HBM stream saving only)
+    r, V = 1600, VOCAB
+    h = jnp.asarray(rng.normal(size=(r, E)) * 0.3, jnp.bfloat16)
+    tt = jnp.asarray(rng.normal(size=(E, V)) * 0.1, jnp.float32)
+    ttq, tts = q_w(tt)
+    ttbf = tt.astype(jnp.bfloat16)
+    bf_ms = timed_min2(scan16(
+        lambda xx: jnp.dot(xx, ttbf,
+                           preferred_element_type=jnp.float32), h),
+        h, iters=3) * 1e3
+    i8_ms = timed_min2(scan16(
+        lambda xx: jnp.dot(xx, ttq.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        * tts[None, :], h), h, iters=3) * 1e3
+    i8d_ms = timed_min2(scan16(
+        lambda xx: dyn_matmul_i8(xx, ttq, tts), h), h, iters=3) * 1e3
+    report("int8_probe", bf_ms / 1e3, shape="beamgen_table", m=r, k=E, n=V,
+           per_step_bf16_ms=round(bf_ms / 16, 3),
+           per_step_int8_dequant_ms=round(i8_ms / 16, 3),
+           per_step_int8_dyn_ms=round(i8d_ms / 16, 3))
+
+
+def beamgen_xla_anatomy():
+    """Decompose the XLA side of the carry-threaded beamgen scan
+    (round-5: the regenerated ``beam_gen`` row read 86.8 ms/step for the
+    XLA formulation while the e2e XLA beam decode runs ~3.5 ms/step --
+    find which op the honest scan makes pathological).  Cumulative
+    prefixes at the kc=6 shape: matmul | +lse | +top_k(kc) | full
+    reference; each stage carry-threaded exactly like the dispatch
+    harness."""
+    rng = np.random.RandomState(0)
+    Bq, kc = 320, 6
+    k = kc - 1
+    r = Bq * k
+    h0 = jnp.asarray(rng.normal(size=(r, E)) * 0.3, jnp.bfloat16)
+    tt = jnp.asarray(rng.normal(size=(E, VOCAB)) * 0.3, jnp.bfloat16)
+
+    def scan16(body):
+        """body(x [r,E]) -> (scalar feeding the next step's input, out)"""
+        @jax.jit
+        def run(h):
+            def step(carry, _):
+                scale = carry
+                s, out = body(h * scale)
+                return (s * 1e-6 + 1.0).astype(h.dtype), out
+            _, outs = jax.lax.scan(step, jnp.asarray(1.0, h.dtype),
+                                   jnp.arange(16))
+            return outs
+        return run
+
+    def mm_only(x):
+        logits = jnp.dot(x, tt, preferred_element_type=jnp.float32)
+        return logits[0, 0], logits.sum()
+
+    def mm_lse(x):
+        logits = jnp.dot(x, tt, preferred_element_type=jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        return lse[0], lse.sum()
+
+    def mm_lse_topk(x):
+        logits = jnp.dot(x, tt, preferred_element_type=jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        vals, idx = jax.lax.top_k(logits, kc)
+        return vals[0, 0], vals.sum() + idx.sum() + lse.sum()
+
+    def mm_topk(x):
+        logits = jnp.dot(x, tt, preferred_element_type=jnp.float32)
+        vals, idx = jax.lax.top_k(logits, kc)
+        return vals[0, 0], vals.sum() + idx.sum()
+
+    def mm_barrier_topk(x):
+        # materialize the logits before top_k (mimics what any multi-use
+        # boundary does in the production beam step): if the plain
+        # mm_topk stage is far slower, XLA fused the matmul INTO the
+        # sort-based top_k and recomputes it per sort pass
+        logits = jnp.dot(x, tt, preferred_element_type=jnp.float32)
+        logits = jax.lax.optimization_barrier(logits)
+        vals, idx = jax.lax.top_k(logits, kc)
+        return vals[0, 0], vals.sum() + idx.sum()
+
+    def mm_barrier_lse_topk(x):
+        # the exact production sequence (decode/beam.py XLA branch):
+        # materialized scores -> logsumexp + top_k
+        logits = jnp.dot(x, tt, preferred_element_type=jnp.float32)
+        logits = jax.lax.optimization_barrier(logits)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        vals, idx = jax.lax.top_k(logits, kc)
+        return vals[0, 0], (vals - lse).sum() + idx.sum()
+
+    def mm_bf16_topk(x):
+        # the PRODUCTION chain (decode/beam.py): the model's logits are
+        # bf16 (compute_dtype), upcast to f32 before top_k -- XLA can
+        # rewrite sort(convert(x)) to convert(sort(x)) and sort 16-bit
+        # keys; forcing f32 matmul output (the probe above) cannot
+        logits = jnp.dot(x, tt)                      # bf16 out
+        scores32 = logits.astype(jnp.float32)
+        vals, idx = jax.lax.top_k(scores32, kc)
+        return vals[0, 0], vals.sum() + idx.sum()
+
+    def topk_carried(x):
+        # no matmul: top_k over an in-graph pseudo-random array (a real
+        # array constant would ship 320 MB through the remote-compile
+        # tunnel -> HTTP 413); ~1 ms of VPU hashing replaces the matmul
+        i = jax.lax.broadcasted_iota(jnp.float32, (r, VOCAB), 1)
+        jr = jax.lax.broadcasted_iota(jnp.float32, (r, VOCAB), 0)
+        big = jnp.sin(i * 0.12345 + jr * 0.7311) + x[0, 0].astype(
+            jnp.float32)
+        vals, idx = jax.lax.top_k(big, kc)
+        return vals[0, 0].astype(x.dtype), vals.sum() + idx.sum()
+
+    import os as _os
+
+    only = _os.environ.get("ANATOMY_STAGES", "").split(",")
+    stages = [("mm", mm_only), ("mm_lse", mm_lse),
+              ("mm_topk", mm_topk), ("mm_lse_topk", mm_lse_topk),
+              ("mm_barrier_topk", mm_barrier_topk),
+              ("mm_barrier_lse_topk", mm_barrier_lse_topk),
+              ("mm_bf16_topk", mm_bf16_topk),
+              ("topk_carried_f32", topk_carried)]
+    for name, body in stages:
+        if only != [""] and name not in only:
+            continue
+        ms = timed_min2(scan16(body), h0, iters=3) * 1e3
+        report("beamgen_xla_anatomy", ms / 1e3, stage=name,
+               per_step_ms=round(ms / 16, 3))
+
+
+def beam_xla_slope():
+    """Definitive per-step cost of the PRODUCTION XLA beam step (round
+    5): beam_search in logits mode at max_len 2 vs 16 -- the slope is the
+    honest per-step cost (the beamgen_xla_anatomy probes say an isolated
+    carry-threaded lax.top_k [1600, 50k] costs ~87 ms/step, which the
+    ~50 ms 16-step e2e decode flatly contradicts; one of the two is
+    measuring something else).  Also: one bare jitted lax.top_k call on a
+    resident [1600, 50k] argument."""
+    import bench as bench_mod
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+    from context_attentive_ir_tpu.decode import beam_search
+
+    var = {"params": params}
+    state0, memory0, mask0 = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, method=model.decode_init))(params, batch)
+    Bq = memory0.shape[0]
+    rep = lambda x: jnp.repeat(x, 5, axis=0)
+    mem_k, mask_k = rep(memory0), rep(mask0)
+
+    def run(T):
+        @jax.jit
+        def fn(params, batch):
+            var = {"params": params}
+            state, memory, mask = model.apply(
+                var, batch, method=model.decode_init)
+            mem_k, mask_k = (jnp.repeat(memory, 5, axis=0),
+                             jnp.repeat(mask, 5, axis=0))
+            step = lambda st, toks: model.apply(
+                var, st, toks, mem_k, mask_k, method=model.decode_step)
+            return beam_search(step, state, Bq, T, 5)
+        return fn
+
+    t2 = timed_min2(run(2), params, batch, iters=3) * 1e3
+    t16 = timed_min2(run(16), params, batch, iters=3) * 1e3
+    report("beam_xla_slope", t16 / 1e3, t2_ms=round(t2, 2),
+           t16_ms=round(t16, 2),
+           per_step_ms=round((t16 - t2) / 14, 3))
+
+    rng = np.random.RandomState(0)
+    big = jnp.asarray(rng.normal(size=(Bq * 5, VOCAB)), jnp.float32)
+    one = jax.jit(lambda l: jax.lax.top_k(l, 6))
+    ms1 = timed_min2(one, big, iters=3) * 1e3
+    report("beam_xla_slope", ms1 / 1e3, stage="bare_topk_call",
+           rows=Bq * 5, v=VOCAB)
 
 
 def dispatch_table_beamgen_pipe():
@@ -2225,7 +2543,11 @@ if __name__ == "__main__":
      "beam_bk_alone": beam_bk_alone, "scan_floor": scan_floor,
      "beam_slope": beam_slope,
      "dispatch_table_beamgen_pipe": dispatch_table_beamgen_pipe,
+     "beamgen_xla_anatomy": beamgen_xla_anatomy,
+     "beam_xla_slope": beam_xla_slope,
+     "int8_probe": int8_probe,
      "beam_fused_e2e": beam_fused_e2e,
+     "beam_shortlist_e2e": beam_shortlist_e2e,
      "greedy_fused_e2e": greedy_fused_e2e,
      "beam_parts_fused": beam_parts_fused,
      "dispatch_table": dispatch_table}[exp]()

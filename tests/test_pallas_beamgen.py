@@ -196,3 +196,109 @@ def test_greedy_decode_fused_step_requires_two_slots():
 
     with pytest.raises(ValueError, match="at least 2"):
         greedy_decode(step, jnp.zeros((2, 4)), 2, 4)
+
+
+def test_beamgen_int8_table_bit_exact_on_integer_data():
+    """int8-table mode (round 5): integer data, scales of 1 -> the
+    quantized kernel must equal the float reference bit-for-bit."""
+    rng = np.random.RandomState(3)
+    x, _ = _data(rng, 70, 96, 1000, integer=True)
+    q = rng.randint(-3, 4, size=(96, 1000)).astype(np.int8)
+    scale = np.ones((1000,), np.float32)
+    v1, i1, l1 = generator_topk_lse(x, jnp.asarray(q), 6, block_r=16,
+                                    block_v=256, interpret=True,
+                                    scale=jnp.asarray(scale))
+    v2, i2, l2 = generator_topk_lse_reference(
+        x, jnp.asarray(q), 6, scale=jnp.asarray(scale))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-6)
+
+
+def test_beamgen_int8_table_matches_quantized_attend():
+    """int8-table mode on a real quantized table: the kernel must
+    reproduce scale_v * (x @ q_v) -- the exact math of the XLA quantized
+    tied generator (ops/layers.Embeddings.attend) -- on unaligned dims."""
+    from context_attentive_ir_tpu.ops.layers import quantize_embedding_table
+
+    rng = np.random.RandomState(4)
+    table = rng.normal(size=(999, 100)).astype(np.float32) * 0.4  # [V, E]
+    q, s = quantize_embedding_table(table)
+    x = jnp.asarray(rng.normal(size=(53, 100)) * 0.5, jnp.bfloat16)
+    scale = jnp.asarray(s.reshape(-1))
+    v1, i1, l1 = generator_topk_lse(x, jnp.asarray(q.T), 4, block_r=16,
+                                    block_v=256, interpret=True,
+                                    scale=scale)
+    v2, i2, l2 = generator_topk_lse_reference(x, jnp.asarray(q.T), 4,
+                                              scale=scale)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5,
+                               rtol=1e-5)
+    assert (np.asarray(i1) == np.asarray(i2)).mean() > 0.99
+
+
+def test_fused_generator_table_quantized_params():
+    """fused_generator_table returns the int8 (q.T, scale) pair for
+    serve-quantized params and (bf16 table.T, None) for float params --
+    quantized engines keep the fused beam path (round 5)."""
+    from context_attentive_ir_tpu.decode.fusedgen import (
+        fused_generator_table,
+    )
+    from context_attentive_ir_tpu.ops.layers import quantize_embedding_table
+
+    rng = np.random.RandomState(5)
+    table = rng.normal(size=(40, 16)).astype(np.float32)
+    t, s = fused_generator_table({"embeddings": {"embedding": table}})
+    assert s is None and t.shape == (16, 40) and t.dtype == jnp.bfloat16
+    q, sc = quantize_embedding_table(table)
+    t2, s2 = fused_generator_table(
+        {"embeddings": {"embedding_q": jnp.asarray(q),
+                        "embedding_scale": jnp.asarray(sc)}})
+    assert t2.dtype == jnp.int8 and t2.shape == (16, 40)
+    assert s2.shape == (40,)
+    # dequantized logits match the float attend within quantization error
+    x = rng.normal(size=(3, 16)).astype(np.float32)
+    lq = (x @ np.asarray(t2, np.float32)) * np.asarray(s2)[None, :]
+    lf = x @ table.T
+    np.testing.assert_allclose(lq, lf, atol=np.abs(table).max() / 40)
+
+
+def test_beam_search_int8_fused_matches_quantized_logits_mode():
+    """Full beam_search with the int8-table fused step must decode the
+    SAME sequences as the logits mode running the quantized generator
+    math (scale_v * (p @ q_v)) -- the serve path for quantized engines."""
+    from context_attentive_ir_tpu.ops.layers import quantize_embedding_table
+
+    rng = np.random.RandomState(6)
+    B, K, V, E, T = 5, 3, 97, 32, 7
+    table = rng.normal(size=(V, E)).astype(np.float32)
+    q, s = quantize_embedding_table(table)
+    qt = jnp.asarray(q.T)
+    scale = jnp.asarray(s.reshape(-1))
+    w = jnp.asarray(rng.normal(size=(E, E)).astype(np.float32) * 0.3)
+    emb = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32) * 0.5)
+
+    def proj_of(state, tokens):
+        h = state["h"] * 0.9 + jnp.take(emb, tokens, axis=0)
+        return {"h": h}, jnp.tanh(h @ w)
+
+    def step_logits(state, tokens):
+        state, p = proj_of(state, tokens)
+        logits = jnp.dot(p.astype(jnp.bfloat16), qt.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return state, logits * scale[None, :]
+
+    def step_fused(state, tokens):
+        state, p = proj_of(state, tokens)
+        out = generator_topk_lse(p.astype(jnp.bfloat16), qt, K + 1,
+                                 block_r=8, block_v=32, interpret=True,
+                                 scale=scale)
+        return state, out
+
+    init = {"h": jnp.asarray(rng.normal(size=(B, E)).astype(np.float32))}
+    s1, sc1 = beam_search(step_logits, init, B, T, K, min_length=2)
+    s2, sc2 = beam_search(step_fused, init, B, T, K, min_length=2)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
+                               atol=1e-5)
