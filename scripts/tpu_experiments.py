@@ -1709,6 +1709,63 @@ def beam_shortlist_e2e():
                speedup=round(ms_full / ms, 2))
 
 
+def beam_int8_e2e():
+    """int8-table fused beam decode, END-TO-END (round 5, VERDICT r4
+    next-round #1's beamgen leg): full CARS beam-5 decode at the bench
+    shape with (a) the bf16-table fused kernel on float params, (b) the
+    int8-table fused kernel on serve-quantized params
+    (serve.quantize_embedding_params -- the whole model runs with the
+    quantized embeddings, exactly like a quantized Engine).  The kernel's
+    dominant HBM stream (the [E, V] table, 25.6 MB bf16 at bench shape)
+    halves in (b).  Also reports greedy (kc=2) both ways."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (
+        beam_search,
+        greedy_decode,
+        make_fused_beam_step,
+    )
+    from context_attentive_ir_tpu.serve import quantize_embedding_params
+
+    cfg, model, params, batch = bench_mod._build_cars(True)
+    Bq = bench_mod.B * bench_mod.S
+    params_q = quantize_embedding_params(params)
+    from context_attentive_ir_tpu.models import build_model
+
+    model_q = build_model(cfg.replace(quantize_embeddings=True))
+
+    def run(mdl, prm, kc):
+        K = kc - 1
+
+        @jax.jit
+        def fn(prm, batch):
+            var = {"params": prm}
+            state, memory, mask = mdl.apply(var, batch,
+                                            method=mdl.decode_init)
+            if kc == 2:
+                mem_k, mask_k = memory, mask
+            else:
+                rep = lambda x: jnp.repeat(x, K, axis=0)
+                mem_k, mask_k = rep(memory), rep(mask)
+            step = make_fused_beam_step(mdl, var, prm, mem_k, mask_k,
+                                        kc=kc)
+            assert step is not None
+            if kc == 2:
+                return greedy_decode(step, state, Bq, 16)
+            return beam_search(step, state, Bq, 16, K)
+        return lambda p, b: fn(p, b)
+
+    timed2 = functools.partial(timed_min2, iters=3)
+    for kc in (6, 2):
+        ms_bf = timed2(run(model, params, kc), params, batch) * 1e3
+        ms_q = timed2(run(model_q, params_q, kc), params_q, batch) * 1e3
+        report("beam_int8_e2e", ms_q / 1e3, kc=kc,
+               bf16_ms=round(ms_bf, 2), int8_ms=round(ms_q, 2),
+               qps_bf16=round(Bq / ms_bf * 1e3, 1),
+               qps_int8=round(Bq / ms_q * 1e3, 1),
+               speedup=round(ms_bf / ms_q, 3))
+
+
 def beam_fused_e2e():
     """END-TO-END confirmation for the fused generator (CLAUDE.md round-2
     lesson: dispatch decisions are confirmed end-to-end, not from
@@ -2548,6 +2605,7 @@ if __name__ == "__main__":
      "int8_probe": int8_probe,
      "beam_fused_e2e": beam_fused_e2e,
      "beam_shortlist_e2e": beam_shortlist_e2e,
+     "beam_int8_e2e": beam_int8_e2e,
      "greedy_fused_e2e": greedy_fused_e2e,
      "beam_parts_fused": beam_parts_fused,
      "dispatch_table": dispatch_table}[exp]()
