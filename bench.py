@@ -232,6 +232,22 @@ def kernel_parity_checks() -> dict:
     results["beamgen_idx_agreement"] = float(
         (np.asarray(ik) == np.asarray(ir)).mean())
 
+    # 4b. int8-table beamgen mode (round 5): kernel vs the quantized XLA
+    #     reference on a real per-row-quantized table
+    from context_attentive_ir_tpu.ops.layers import quantize_embedding_table
+
+    tq, tscale = quantize_embedding_table(
+        np.asarray(jax.device_get(tg)).T.astype(np.float32))
+    tq_t, tsc = jnp.asarray(tq.T), jnp.asarray(tscale.reshape(-1))
+    vk, ik, lk = jax.device_get(generator_topk_lse(xg, tq_t, BEAM + 1,
+                                                   scale=tsc))
+    vr, ir, lr = jax.device_get(generator_topk_lse_reference(
+        xg, tq_t, BEAM + 1, scale=tsc))
+    results["beamgen_i8_val_rel_err"] = _max_rel_err(vk, vr)
+    results["beamgen_i8_lse_rel_err"] = _max_rel_err(lk, lr)
+    results["beamgen_i8_idx_agreement"] = float(
+        (np.asarray(ik) == np.asarray(ir)).mean())
+
     # 5. end-to-end: CARS loss + grad-norm, kernel config vs scan config
     #    (same params -- the pallas flags do not change the param tree)
     cfg_k, model_k, params, batch = _build_cars(True, b=16, s=3, n=10,
@@ -263,10 +279,13 @@ def kernel_parity_checks() -> dict:
            "gru_bwd_rel_err": 0.08,
            "pool_rel_err": 0.05, "train_loss_rel_err": 0.02,
            "train_gnorm_rel_err": 0.08,
-           "beamgen_val_rel_err": 1e-3, "beamgen_lse_rel_err": 1e-3}
+           "beamgen_val_rel_err": 1e-3, "beamgen_lse_rel_err": 1e-3,
+           "beamgen_i8_val_rel_err": 1e-3, "beamgen_i8_lse_rel_err": 1e-3}
     bad = {k: v for k, v in tol.items() if results[k] > v}
     if results["beamgen_idx_agreement"] < 0.999:
         bad["beamgen_idx_agreement"] = results["beamgen_idx_agreement"]
+    if results["beamgen_i8_idx_agreement"] < 0.999:
+        bad["beamgen_i8_idx_agreement"] = results["beamgen_i8_idx_agreement"]
     if bad:
         raise RuntimeError(
             f"KERNEL PARITY REGRESSION: {bad} (full: {results})")
