@@ -660,3 +660,40 @@ def test_engine_shortlist_suggest(trained_cars):
                 # decoded ids must come from the shortlist: session
                 # tokens, specials, or the most-frequent fill (low ids)
                 assert tid in allowed or tid < 16 + 4, (tok, tid)
+
+
+def test_engine_shortlist_greedy_and_quantized(trained_cars):
+    """The two shortlist combinations not covered above: greedy decode
+    (beam_size=1 -> the kc=2 step) with a shortlist, and shortlist x
+    int8-quantized table (scale rides the column gather)."""
+    path, sessions, word_dict = trained_cars
+    hists = [[" ".join(q.tokens) for q in s.queries] for s in sessions[:3]]
+
+    g_exact = Engine.from_checkpoint(path, beam_size=1)
+    g_full = Engine.from_checkpoint(path, beam_size=1,
+                                    suggest_shortlist=10 ** 6)
+    a = g_exact.suggest_batch(hists)
+    b = g_full.suggest_batch(hists)
+    assert [[t for t, _ in r] for r in a] == [[t for t, _ in r] for r in b]
+    g_sl = Engine.from_checkpoint(path, beam_size=1, suggest_shortlist=16)
+    out = g_sl.suggest_batch(hists)
+    assert len(out) == len(hists)
+    assert all(np.isfinite(s) for r in out for _, s in r)
+
+    # quantized engine + shortlist: runs and emits finite scores through
+    # the int8 column gather + scale path
+    q_sl = Engine.from_checkpoint(path, beam_size=2,
+                                  quantize_embeddings=True,
+                                  suggest_shortlist=16)
+    out_q = q_sl.suggest_batch(hists)
+    assert all(np.isfinite(s) for r in out_q for _, s in r)
+    # full-coverage shortlist on the quantized engine == exact quantized
+    q_exact = Engine.from_checkpoint(path, beam_size=2,
+                                     quantize_embeddings=True)
+    q_full = Engine.from_checkpoint(path, beam_size=2,
+                                    quantize_embeddings=True,
+                                    suggest_shortlist=10 ** 6)
+    qa = q_exact.suggest_batch(hists)
+    qb = q_full.suggest_batch(hists)
+    assert [[t for t, _ in r] for r in qa] == \
+        [[t for t, _ in r] for r in qb]
