@@ -150,15 +150,36 @@ def test_missing_table_is_fallback(tmp_path):
         _restore(old)
 
 
-def test_checked_in_table_round2_points():
-    """The shipped table reproduces the round-2 measured policy at the
-    bench shapes."""
+def test_checked_in_table_is_self_consistent():
+    """Every decision at a shipped RNN row's exact shape must follow
+    from that row's own ms under the margin rule (data-driven: the
+    table is re-measured each round, so this pins lookup SEMANTICS
+    against the shipped data, not stale round-N values):
+
+    - infer: kernel only when kernel_ms beats scan_ms by >margin
+      (default = the XLA scan);
+    - train: kernel unless scan_ms beats kernel_ms by >margin
+      (default = the e2e-validated kernel pair)."""
     dispatch.reload_table()
-    pk = dispatch.prefer_kernel
-    assert pk("lstm", 2000, 30, 256, 128, "bfloat16", False)
-    assert not pk("lstm", 16000, 30, 256, 128, "bfloat16", False)
-    assert pk("gru", 2000, 30, 256, 128, "bfloat16", False)
-    assert not pk("gru", 16000, 30, 256, 128, "bfloat16", False)
+    m = dispatch.NEAR_TIE_MARGIN
+    rows_seen = 0
+    for e in dispatch._load_table():
+        if e.get("kind") not in ("lstm", "gru"):
+            continue
+        rows_seen += 1
+        training = e["mode"] == "train"
+        got = dispatch.prefer_kernel(e["kind"], e["rows"], e["t"],
+                                     e["e"], e["h"], e["dtype"], training)
+        if training:
+            want = not (e["scan_ms"] < (1 - m) * e["kernel_ms"])
+        else:
+            want = e["kernel_ms"] < (1 - m) * e["scan_ms"]
+        assert got == want, (e, got, want)
+    assert rows_seen >= 8  # the table ships real coverage
+    # and the production serving shape (bench doc encoder, 16k rows
+    # infer) stays on the XLA scan per the shipped measurements
+    assert not dispatch.prefer_kernel("lstm", 16000, 30, 256, 128,
+                                      "bfloat16", False)
 
 
 def test_write_table_round_trip(tmp_path):
