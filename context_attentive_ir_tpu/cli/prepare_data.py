@@ -138,11 +138,19 @@ def cmd_bm25(args):
                 for c in clicks:
                     seen.setdefault(c, None)
         titles = list(seen)
-    # keyed by normalized title (first corpus occurrence wins), so click
-    # lookups tolerate case/unicode-form differences
-    title_ix: dict[str, int] = {}
+    # exact-title index first (a click that IS a corpus title must label
+    # that exact document, even when the corpus also holds a case/unicode
+    # variant of it); normalized index as the fallback so clicks
+    # differing only by case/unicode form still resolve (ADVICE r4)
+    exact_ix = {t: i for i, t in reversed(list(enumerate(titles)))}
+    norm_ix: dict[str, int] = {}
     for i, t in enumerate(titles):
-        title_ix.setdefault(title_key(t), i)
+        norm_ix.setdefault(title_key(t), i)
+
+    def lookup_click(c: str) -> int | None:
+        hit = exact_ix.get(c)
+        return norm_ix.get(title_key(c)) if hit is None else hit
+
     index = BM25Index(titles, use_native=not args.no_native)
     n_turns = n_dropped = n_appended = n_overflow = n_unmatched = 0
     with open(args.output, "w") as f:
@@ -152,10 +160,10 @@ def cmd_bm25(args):
                 n_turns += 1
                 idx, _scores = index.search(query, args.num_candidates)
                 slate = [int(i) for i in idx]
-                click_keys = {title_key(c) for c in clicks}
-                unmatched = {k for k in click_keys if k not in title_ix}
+                hits = {c: lookup_click(c) for c in set(clicks)}
+                unmatched = {c for c, i in hits.items() if i is None}
                 n_unmatched += len(unmatched)
-                clicked_ids = {title_ix[k] for k in click_keys - unmatched}
+                clicked_ids = {i for i in hits.values() if i is not None}
                 missing = clicked_ids - set(slate)
                 if (missing or unmatched) \
                         and args.on_missing_click == "drop":

@@ -59,23 +59,30 @@ def prefetch(batches: Iterable[B], depth: int = 2) -> Iterator[B]:
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def put_or_stop(item) -> bool:
+        """Blocking put that stays responsive to the stop flag; returns
+        False if stopped first."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in batches:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(item):
                     return
-            q.put(_SENTINEL)
+            put_or_stop(_SENTINEL)
         except BaseException as e:  # propagate to the consumer
-            try:
-                q.put(e, timeout=1.0)
-            except queue.Full:
-                pass
+            # must not be dropped on a full queue (the consumer may sit
+            # in a minutes-long device step before its next get(); a
+            # swallowed error would leave it blocked forever once the
+            # buffered items drain) -- retry under the stop flag exactly
+            # like the item path
+            put_or_stop(e)
 
     t = threading.Thread(target=producer, daemon=True,
                          name="batch-prefetch")
@@ -127,8 +134,9 @@ class PackedIterator(Generic[T, B]):
     full example list (batch_size=len(examples)); per-batch assembly is a
     row gather over the packed arrays.  Bit-identical to BatchIterator
     output by construction (same collate, same per-epoch permutation --
-    asserted in tests).  The final short batch pads by repeating row 0
-    with ``row_mask`` False, exactly like the collate functions do.
+    asserted in tests).  The final short batch pads with zero rows
+    (``_take_rows``) -- bit-identical to the collate functions'
+    pre-filled short-batch padding (PAD == 0, masks False, labels 0.0).
     """
 
     def __init__(

@@ -14,7 +14,8 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 
-from ..ops.pallas.beamgen import generator_topk_lse
+from ..ops.pallas.beamgen import (generator_topk_lse,
+                                  generator_topk_lse_reference)
 
 
 def fused_generator_table(params, dtype=jnp.bfloat16):
@@ -106,13 +107,11 @@ def make_shortlist_xla_step(model, var, params, memory, memory_mask,
                             shortlist=None) -> Optional[Callable]:
     """XLA (non-Pallas) shortlist step: same (vals, idx, lse) contract
     and the same restricted-softmax math as the fused kernel's shortlist
-    mode, via a plain [R, C] matmul + lax.top_k.  The generator matmul
-    shrinks V -> C exactly like the kernel path, so this also
-    accelerates decode on backends without Mosaic (and is what CI
-    exercises).  Returns None when the model cannot take the tied-table
-    path."""
-    import jax
-
+    mode, via the shared ``generator_topk_lse_reference`` on a shortlist
+    column gather.  The generator matmul shrinks V -> C exactly like the
+    kernel path, so this also accelerates decode on backends without
+    Mosaic (and is what CI exercises).  Returns None when the model
+    cannot take the tied-table path."""
     if shortlist is None or not can_fuse_generator(model, params):
         return None
 
@@ -120,17 +119,12 @@ def make_shortlist_xla_step(model, var, params, memory, memory_mask,
         table_t, scale = fused_generator_table(params, dtype)
         sl = jnp.asarray(shortlist, jnp.int32)
         table_s = jnp.take(table_t, sl, axis=1)       # hoisted: invariant
+        scale_s = None if scale is None else jnp.take(scale, sl, axis=0)
         state, proj, _ = model.apply(var, state, tokens, memory,
                                      memory_mask,
                                      method=model.decode_step_fused)
-        logits = jnp.dot(proj.astype(dtype),
-                         table_s.astype(dtype)
-                         if table_s.dtype == jnp.int8 else table_s,
-                         preferred_element_type=jnp.float32)
-        if scale is not None:
-            logits = logits * jnp.take(scale, sl, axis=0)[None, :]
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)
-        vals, idx = jax.lax.top_k(logits, kc)
+        vals, idx, lse = generator_topk_lse_reference(
+            proj.astype(dtype), table_s, kc, scale=scale_s)
         return state, (vals, jnp.take(sl, idx, axis=0), lse)
 
     return step

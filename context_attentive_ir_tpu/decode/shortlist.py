@@ -40,11 +40,14 @@ def build_shortlist(size: int, vocab_size: int,
     """int32 [size] sorted unique vocab ids: specials + source tokens +
     most-frequent fill (ids are frequency-ranked by construction).
 
-    ``size`` must not exceed ``vocab_size`` (caller clamps); if the
-    source union alone exceeds ``size``, the highest (rarest) source ids
-    are dropped -- specials and frequent tokens survive.
+    ``size`` clamps into [4, vocab_size] (the four specials are always
+    decodable, so no smaller shortlist exists); if the source union
+    alone exceeds ``size``, the highest (rarest) source ids are dropped
+    -- specials and frequent tokens survive.  The returned length is
+    exactly the clamped ``size`` (static shape -> one jit trace per
+    configured size, not per request).
     """
-    size = min(size, vocab_size)
+    size = max(min(size, vocab_size), 4)
     take = np.zeros(vocab_size, bool)
     take[[PAD, UNK, BOS, EOS]] = True
     if source_ids is not None:

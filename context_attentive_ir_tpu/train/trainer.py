@@ -70,7 +70,8 @@ def make_iterator(sessions: list[Session], config: ModelConfig,
     ``pack=True`` vectorizes the whole example list once and serves
     batches as row gathers (``data.pipeline.PackedIterator`` -- the
     reference ``--data_workers`` analogue, bit-identical batch stream);
-    bucketed multitask iteration stays unpacked (one shape per bucket).
+    bucketed multitask iteration packs one superbatch per bucket
+    (``PackedBucketedIterator``).
     """
     family = task_family(config.model_type)
     shapes = shapes_from_config(config)
