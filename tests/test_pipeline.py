@@ -64,6 +64,26 @@ def test_prefetch_propagates_producer_exception():
         next(it)
 
 
+def test_prefetch_exception_survives_full_queue_and_slow_consumer():
+    """Round-5 review fix: a producer exception raised while the queue
+    is full must wait for space, not be dropped after a timeout (the
+    consumer can sit in a minutes-long device step; a swallowed error
+    left it hanging forever at the next get())."""
+    import time
+
+    def gen():
+        yield 1
+        yield 2  # fills depth=2; the raise then meets a full queue
+        raise ValueError("late boom")
+
+    it = prefetch(gen(), depth=2)
+    time.sleep(1.5)  # > the old 1.0 s put timeout that dropped the error
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="late boom"):
+        next(it)
+
+
 def test_prefetch_early_close_stops_producer():
     produced = []
 
