@@ -160,7 +160,21 @@ class Checkpointer:
         path = Checkpointer.resolve(path)
         if (path / STATE_FILE).exists():
             blob = (path / STATE_FILE).read_bytes()
-            return serialization.from_bytes(state_template, blob)
+            try:
+                return serialization.from_bytes(state_template, blob)
+            except ValueError as e:
+                # a structure mismatch (e.g. the optimizer layout changed
+                # between the writing and reading code versions) surfaces
+                # from flax as a bare list-size error deep in the
+                # opt_state tree -- name the actual problem and the way
+                # out instead (round-5 rehearsal post-mortem)
+                raise ValueError(
+                    f"checkpoint at {path} does not match the current "
+                    "train-state structure (commonly: it was written by "
+                    "an older code version with a different optimizer "
+                    "layout). Retrain, or load params only via "
+                    f"Checkpointer.peek + model init. Original: {e}"
+                ) from e
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()

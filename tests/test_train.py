@@ -107,6 +107,29 @@ def test_checkpoint_roundtrip(data, tmp_path):
     assert saved_vocab.tok2ind == word_dict.tok2ind
 
 
+def test_checkpoint_structure_mismatch_names_the_problem(data, tmp_path):
+    """A checkpoint whose opt_state layout differs from the current
+    train-state template (e.g. written by an older optimizer
+    composition) must fail with an error that says so, not a bare flax
+    list-size ValueError (round-5 rehearsal post-mortem: a pre-
+    masked-optimizer checkpoint resumed into current code)."""
+    sessions, word_dict = data
+    cfg = default_config("dssm").replace(vocab_size=len(word_dict), **DIMS)
+    model = build_model(cfg)
+    it = make_iterator(sessions, cfg, word_dict, batch_size=4,
+                       shuffle=False, seed=0)
+    batch = next(iter(it.epoch(0)))
+    state = create_train_state(model, cfg, batch, jax.random.key(0))
+    ck = Checkpointer(tmp_path, "m", async_save=False)
+    ck.save_best(state, cfg, word_dict, {"epoch": 0})
+    # a template built under a different optimizer layout (no clipping
+    # stage -> different outer-chain arity)
+    cfg2 = cfg.replace(grad_clipping=0.0, weight_decay=0.1)
+    state2 = create_train_state(model, cfg2, batch, jax.random.key(9))
+    with pytest.raises(ValueError, match="optimizer layout"):
+        Checkpointer.load(ck.best_path, state2)
+
+
 def test_checkpoint_override_args(data, tmp_path):
     """Architecture comes from the checkpoint; runtime flags from the new
     invocation (reference override_model_args semantics)."""
