@@ -697,3 +697,23 @@ def test_engine_shortlist_greedy_and_quantized(trained_cars):
     qb = q_full.suggest_batch(hists)
     assert [[t for t, _ in r] for r in qa] == \
         [[t for t, _ in r] for r in qb]
+
+
+def test_engine_shortlist_under_mesh_matches_single_device(trained_cars):
+    """The remaining feature cross: a sharded Engine with a restricted
+    shortlist must reproduce the single-device shortlist engine's
+    suggestions (request batches shard; the shortlist gather replicates
+    with the params)."""
+    from context_attentive_ir_tpu.parallel.mesh import make_mesh
+
+    path, sessions, _ = trained_cars
+    hists = [[" ".join(x.tokens) for x in s.queries] for s in sessions[:5]]
+    e1 = Engine.from_checkpoint(path, beam_size=2, suggest_shortlist=16)
+    e8 = Engine.from_checkpoint(path, beam_size=2, suggest_shortlist=16,
+                                mesh=make_mesh())
+    s1 = e1.suggest_batch(hists)
+    s8 = e8.suggest_batch(hists)
+    for a, b in zip(s1, s8):
+        assert [t for t, _ in a] == [t for t, _ in b]
+        np.testing.assert_allclose([v for _, v in a], [v for _, v in b],
+                                   atol=1e-4, rtol=1e-4)
