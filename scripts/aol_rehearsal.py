@@ -160,7 +160,7 @@ def main():
                         if isinstance(v, (int, float))}}
     print(json.dumps(summary), flush=True)
     with open(ROOT / "RESULTS.md", "a") as f:
-        f.write("\n## AOL-scale dress rehearsal (round 4)\n\n"
+        f.write("\n## AOL-scale dress rehearsal\n\n"
                 "One command (`python scripts/aol_rehearsal.py`): generate "
                 f"{len(train)} sessions\n(vocab {len(word_dict)}, S<=10, "
                 "slate 50) -> train CARS epoch 0 -> checkpoint ->\n"
