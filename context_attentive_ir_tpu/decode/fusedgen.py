@@ -55,7 +55,8 @@ def make_fused_beam_step(model, var, params, memory, memory_mask,
                          block_r: int = 320, block_v: int = 2048,
                          interpret: bool = False,
                          pipeline: bool | None = None,
-                         shortlist=None) -> Optional[Callable]:
+                         shortlist=None,
+                         prune: bool | None = None) -> Optional[Callable]:
     """``(state, tokens) -> (state, (vals, idx, lse))`` or None when the
     model/params cannot take the fused path.  ``memory``/``memory_mask``
     must already be beam-tiled.  The transposed table is computed inside
@@ -70,7 +71,12 @@ def make_fused_beam_step(model, var, params, memory, memory_mask,
     hoisted once per decode); returned indices are mapped back to real
     vocab ids so beam_search and the embedding feedback are unchanged.
     Approximate (softmax support restricted to the shortlist);
-    quality-gated, see shortlist.py."""
+    quality-gated, see shortlist.py.
+
+    ``prune=None`` resolves the serial kernel's threshold-pruned
+    selection from the measured dispatch table
+    (``ops.dispatch.prefer_pruned_generator``); exact either way
+    (ops/pallas/beamgen.py prune docstring)."""
     if not can_fuse_generator(model, params):
         return None
 
@@ -80,6 +86,12 @@ def make_fused_beam_step(model, var, params, memory, memory_mask,
         pipeline = prefer_pipelined_generator(memory.shape[0], kc)
     if fused_generator_table(params, dtype)[1] is not None:
         pipeline = False  # int8-table mode is serial-kernel only
+    if prune is None:
+        from ..ops.dispatch import prefer_pruned_generator
+
+        prune = prefer_pruned_generator(memory.shape[0], kc)
+    if pipeline:
+        prune = False  # prune is serial-kernel only
 
     def step(state, tokens):
         table_t, scale = fused_generator_table(params, dtype)
@@ -94,7 +106,7 @@ def make_fused_beam_step(model, var, params, memory, memory_mask,
         vals, idx, lse = generator_topk_lse(
             proj.astype(dtype), table_t, kc, block_r=block_r,
             block_v=block_v, interpret=interpret, pipeline=pipeline,
-            scale=scale)
+            scale=scale, prune=prune)
         if shortlist is not None:
             idx = jnp.take(jnp.asarray(shortlist, jnp.int32), idx, axis=0)
         return state, (vals, idx, lse)

@@ -52,7 +52,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _beamgen_kernel(x_ref, t_ref, *refs,
                     kc: int, v_logical: int, block_v: int, n_v: int,
-                    has_scale: bool = False):
+                    has_scale: bool = False, prune: bool = False):
     if has_scale:
         # int8 tied table + per-vocab-column scale (the serve-time
         # quantized-embedding layout, ops/layers.Embeddings.attend):
@@ -85,28 +85,55 @@ def _beamgen_kernel(x_ref, t_ref, *refs,
 
     # online logsumexp
     m_old = m_s[:]                                            # [RB, 1]
-    m_new = jnp.maximum(m_old, jnp.max(scores, -1, keepdims=True))
+    tile_max = jnp.max(scores, -1, keepdims=True)             # [RB, 1]
+    m_new = jnp.maximum(m_old, tile_max)
     s_s[:] = (s_s[:] * jnp.exp(m_old - m_new)
               + jnp.sum(jnp.exp(scores - m_new), -1, keepdims=True))
     m_s[:] = m_new
 
-    # running top-kc: kc exact selection passes over [tile | buffer]
-    comb_v = jnp.concatenate([scores, vals_ref[:]], -1)       # [RB, VT+KPAD]
-    comb_i = jnp.concatenate([col, idx_ref[:]], -1)
-    new_v, new_i = [], []
-    for _ in range(kc):
-        m = jnp.max(comb_v, -1, keepdims=True)                # [RB, 1]
-        hit = comb_v == m
-        ci = jnp.min(jnp.where(hit, comb_i, jnp.int32(2 ** 30)), -1,
-                     keepdims=True)
-        comb_v = jnp.where(hit & (comb_i == ci), NEG, comb_v)
-        new_v.append(m)
-        new_i.append(ci)
-    rb = comb_v.shape[0]
-    new_v.append(jnp.full((rb, _KPAD - kc), NEG, jnp.float32))
-    new_i.append(jnp.zeros((rb, _KPAD - kc), jnp.int32))
-    vals_ref[:] = jnp.concatenate(new_v, -1)
-    idx_ref[:] = jnp.concatenate(new_i, -1)
+    def _select():
+        # running top-kc: kc exact selection passes over [tile | buffer]
+        comb_v = jnp.concatenate([scores, vals_ref[:]], -1)   # [RB, VT+KPAD]
+        comb_i = jnp.concatenate([col, idx_ref[:]], -1)
+        new_v, new_i = [], []
+        for _ in range(kc):
+            m = jnp.max(comb_v, -1, keepdims=True)            # [RB, 1]
+            hit = comb_v == m
+            ci = jnp.min(jnp.where(hit, comb_i, jnp.int32(2 ** 30)), -1,
+                         keepdims=True)
+            comb_v = jnp.where(hit & (comb_i == ci), NEG, comb_v)
+            new_v.append(m)
+            new_i.append(ci)
+        rb = comb_v.shape[0]
+        new_v.append(jnp.full((rb, _KPAD - kc), NEG, jnp.float32))
+        new_i.append(jnp.zeros((rb, _KPAD - kc), jnp.int32))
+        vals_ref[:] = jnp.concatenate(new_v, -1)
+        idx_ref[:] = jnp.concatenate(new_i, -1)
+
+    if not prune:
+        _select()
+    else:
+        # threshold-pruned selection (round 5): a tile whose per-row max
+        # cannot displace any row's running kc-th value contributes
+        # nothing to the top-k buffer -- skip all kc selection passes for
+        # the whole row block.  EXACT including lax.top_k tie semantics:
+        # tiles are swept in ascending vocab order, so a buffered value
+        # always carries a LOWER index than any incoming equal (ties
+        # break to the lower index -> an incoming == kth never enters);
+        # the lse accumulation above already consumed the full tile.  At
+        # j == 0 the buffer is NEG-initialized, the predicate is false,
+        # and the first tile always selects.  Whether the skip ever fires
+        # is data-dependent (it needs EVERY row in the block to be
+        # skippable): frequency-sorted vocabs + trained generators
+        # concentrate every row's top-k in the low tiles, so the rare-
+        # token tail prunes; random logits never prune (measured, PERF.md
+        # r5) -- the non-pruned cost is one extra [RB,1] compare+reduce.
+        kth = vals_ref[:, kc - 1:kc]                          # [RB, 1]
+        relevant = jnp.any(tile_max > kth)                    # scalar
+
+        @pl.when(relevant)
+        def _():
+            _select()
 
     @pl.when(j == n_v - 1)
     def _():
@@ -176,11 +203,13 @@ def _beamgen_pipelined_kernel(x_ref, t_ref, vals_ref, idx_ref, lse_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("kc", "block_r", "block_v",
-                                             "interpret", "pipeline"))
+                                             "interpret", "pipeline",
+                                             "prune"))
 def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
                        block_r: int = 320, block_v: int = 2048,
                        interpret: bool = False, pipeline: bool = False,
-                       scale: jnp.ndarray | None = None):
+                       scale: jnp.ndarray | None = None,
+                       prune: bool = False):
     """Fused ``top_k(x @ table_t, kc)`` + ``logsumexp(x @ table_t)``.
 
     x [R, E] (bf16/f32), table_t [E, V] -> (vals [R, kc] f32,
@@ -196,8 +225,15 @@ def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
     quantized tied generator (ops/layers.Embeddings.attend).  Halves the
     dominant HBM stream (the [E, V] table crosses HBM once per row
     block).  Serial kernel only.
+
+    ``prune=True`` (round 5): skip the kc selection passes for any vocab
+    tile whose per-row max cannot displace any row's running kc-th value
+    -- exact (see the kernel comment), data-dependent win on
+    frequency-sorted vocabs where trained generators concentrate top-k
+    mass in the low tiles.  Serial kernel only; measured dispatch.
     """
     assert 0 < kc <= _KPAD
+    assert not (prune and pipeline), "prune is serial-kernel only"
     r, e = x.shape
     e2, v = table_t.shape
     assert e == e2, (x.shape, table_t.shape)
@@ -229,7 +265,7 @@ def generator_topk_lse(x: jnp.ndarray, table_t: jnp.ndarray, kc: int,
     else:
         kern = functools.partial(_beamgen_kernel, kc=kc, v_logical=v,
                                  block_v=block_v, n_v=n_v,
-                                 has_scale=scale is not None)
+                                 has_scale=scale is not None, prune=prune)
         grid = (n_r, n_v)
         t_map = lambda i, j: (0, j)
         scratch = [

@@ -1709,6 +1709,135 @@ def beam_shortlist_e2e():
                speedup=round(ms_full / ms, 2))
 
 
+def beamgen_prune_probe():
+    """Threshold-pruned beamgen selection (round 5): carry-threaded
+    16-step scans of the SAME Pallas kernel with prune on/off, on two
+    logits regimes at the bench generator shape ([1600, 256] x
+    [256, 50k] bf16, kc=6):
+
+    - ``random``: i.i.d. table -- per-row top-k lands in different tiles
+      for different rows, so the all-rows-skip predicate ~never fires;
+      measures the prune branch's pure overhead.
+    - ``concentrated``: column norms decay Zipf-like (frequency-sorted
+      vocab + trained generator), every row's top-k concentrated in the
+      first tile -- measures the ceiling when ~24/25 tiles prune.
+
+    Both sides are the same kernel +- one branch on identical inputs, so
+    the isolated A/B is meaningful (the r5 #1 top_k context pathology
+    applied to XLA's top_k emitter, not to a self-relative Pallas A/B).
+    The carry threads x through the kernel's val output so nothing
+    hoists (r4 10a lesson)."""
+    from context_attentive_ir_tpu.ops.pallas.beamgen import (
+        generator_topk_lse,
+    )
+
+    rng = np.random.RandomState(0)
+    r, e, v, kc = 1600, E, VOCAB, 6
+    x0 = jnp.asarray(rng.normal(size=(r, e)) * 0.3, jnp.bfloat16)
+    t_rand = jnp.asarray(rng.normal(size=(e, v)) * 0.3, jnp.bfloat16)
+    decay = np.ones(v, np.float32) * 0.05
+    decay[:2048] = 3.0                       # tile 0 dominates every row
+    t_conc = jnp.asarray(np.asarray(t_rand, np.float32)
+                         * decay[None, :], jnp.bfloat16)
+
+    def block(table, prune):
+        @jax.jit
+        def run(x):
+            def step(carry, _):
+                vals, idx, lse = generator_topk_lse(
+                    carry, table, kc, prune=prune)
+                # fold the outputs back into the carry so each step
+                # depends on the last (nothing hoists)
+                carry = carry + (vals[:, :1] * 0 + lse[:, None] * 0
+                                 ).astype(carry.dtype)
+                return carry, (vals[:, 0], idx[:, 0])
+            return jax.lax.scan(step, x, None, length=16)
+        return run
+
+    for label, table in (("random", t_rand), ("concentrated", t_conc)):
+        for prune in (False, True):
+            ms = timed_min2(block(table, prune), x0) * 1e3
+            report("beamgen_prune_probe", ms / 1e3, regime=label,
+                   prune=prune, per_step_ms=round(ms / 16, 3))
+
+
+def dispatch_table_beamgen_prune():
+    """Threshold-pruned vs unconditional beamgen selection, measured as
+    END-TO-END DECODE SLOPES (the r5 #1 methodology: full CARS fused
+    decode at T=2 vs T=16, per-step cost = (t16 - t2)/14, prune forced
+    each way; both sides bit-exact so this is speed-only).  Random-init
+    params are the CONSERVATIVE regime for prune (the all-rows-skip
+    predicate ~never fires; trained frequency-sorted vocabs only prune
+    MORE -- beamgen_prune_probe: 1.27x random, 3.11x concentrated), so
+    a row written here under-promises.  Writes ``beam_gen_prune`` rows
+    {rows, kc, prune_ms, base_ms} consulted by
+    ``ops.dispatch.prefer_pruned_generator``.  Usage:
+    dispatch_table_beamgen_prune [kc...] (default 6)."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (
+        beam_search,
+        greedy_decode,
+        make_fused_beam_step,
+    )
+    from context_attentive_ir_tpu.ops import dispatch
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+
+    def run(kc, prune, T):
+        K = kc - 1
+
+        @jax.jit
+        def fn(params, batch):
+            var = {"params": params}
+            state, memory, mask = model.apply(var, batch,
+                                              method=model.decode_init)
+            rows = memory.shape[0]
+            if kc == 2:
+                mem_k, mask_k = memory, mask
+            else:
+                rep = lambda x: jnp.repeat(x, K, axis=0)
+                mem_k, mask_k = rep(memory), rep(mask)
+            step = make_fused_beam_step(model, var, params, mem_k,
+                                        mask_k, kc=kc, pipeline=False,
+                                        prune=prune)
+            if kc == 2:
+                return greedy_decode(step, state, rows, T)
+            return beam_search(step, state, rows, T, K)
+        return fn
+
+    timed2 = functools.partial(timed_min2, iters=3)
+    Bq = bench_mod.B * bench_mod.S
+
+    kcs = [int(a) for a in sys.argv[2:]] or [6]
+    new = []
+    for kc in kcs:
+        slope = {}
+        for prune in (False, True):
+            t2 = timed2(run(kc, prune, 2), params, batch) * 1e3
+            t16 = timed2(run(kc, prune, 16), params, batch) * 1e3
+            slope[prune] = (t16 - t2) / 14
+            report("dispatch_beamgen_prune", slope[prune] / 1e3, kc=kc,
+                   prune=prune, t2_ms=round(t2, 2), t16_ms=round(t16, 2))
+        # decoded outputs must agree exactly (both exact selections)
+        s1, _ = jax.device_get(run(kc, False, 16)(params, batch))
+        s2, _ = jax.device_get(run(kc, True, 16)(params, batch))
+        mismatch = int((np.asarray(s1) != np.asarray(s2)).sum())
+        rows = Bq * (kc - 1) if kc > 2 else Bq
+        new.append(dict(kind="beam_gen_prune", kc=kc, rows=rows,
+                        prune_ms=round(slope[True], 3),
+                        base_ms=round(slope[False], 3),
+                        seq_mismatch=mismatch, method="e2e_slope"))
+    fresh = {(x["kc"], x["rows"]) for x in new}
+    merged = [e for e in dispatch._load_table()
+              if e.get("kind") != "beam_gen_prune"
+              or (e["kc"], e["rows"]) not in fresh] + new
+    dispatch.write_table(merged)
+    print(json.dumps({"exp": "dispatch_table_beamgen_prune",
+                      "written": str(dispatch.TABLE_PATH),
+                      "n_entries": len(merged)}), flush=True)
+
+
 def beam_int8_e2e():
     """int8-table fused beam decode, END-TO-END (round 5, VERDICT r4
     next-round #1's beamgen leg): full CARS beam-5 decode at the bench
@@ -2606,6 +2735,8 @@ if __name__ == "__main__":
      "beam_fused_e2e": beam_fused_e2e,
      "beam_shortlist_e2e": beam_shortlist_e2e,
      "beam_int8_e2e": beam_int8_e2e,
+     "beamgen_prune_probe": beamgen_prune_probe,
+     "dispatch_table_beamgen_prune": dispatch_table_beamgen_prune,
      "greedy_fused_e2e": greedy_fused_e2e,
      "beam_parts_fused": beam_parts_fused,
      "dispatch_table": dispatch_table}[exp]()

@@ -101,6 +101,26 @@ def test_beam_gen_pipe_dispatch(tmp_path):
         _restore(old)
 
 
+def test_beam_gen_prune_dispatch(tmp_path):
+    """prefer_pruned_generator: measured beam_gen_prune rows decide;
+    unmeasured (kc mismatch / empty table) -> False (unconditional
+    selection)."""
+    old = _with_table(tmp_path, [
+        dict(kind="beam_gen_prune", rows=1600, kc=6,
+             prune_ms=1.27, base_ms=1.62),
+        dict(kind="beam_gen_prune", rows=320, kc=2,
+             prune_ms=1.0, base_ms=1.02),   # near-tie: keep default
+    ])
+    try:
+        assert dispatch.prefer_pruned_generator(1600, 6)
+        # nearest rows in log distance at exact kc match
+        assert dispatch.prefer_pruned_generator(3000, 6)
+        assert not dispatch.prefer_pruned_generator(320, 2)
+        assert not dispatch.prefer_pruned_generator(1600, 4)
+    finally:
+        _restore(old)
+
+
 def test_nearest_row_point_decides(tmp_path):
     old = _with_table(tmp_path, [
         _entry(2000, kernel_ms=2.0, scan_ms=3.0),   # kernel wins

@@ -74,10 +74,54 @@ def test_beamgen_tie_semantics_match_lax_topk(pipeline):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
-def test_beam_search_fused_step_mode_matches_logits_mode():
+@pytest.mark.parametrize("integer", [True, False])
+def test_beamgen_prune_matches_reference(integer):
+    """prune=True (threshold-pruned selection) is exact: same outputs as
+    the reference on integer and random data (same cases as the serial
+    kernel's parity tests)."""
+    rng = np.random.RandomState(2)
+    x, tt = _data(rng, 53, 96, 999, integer=integer)
+    v1, i1, l1 = generator_topk_lse(x, tt, 6, block_r=16, block_v=256,
+                                    interpret=True, prune=True)
+    v2, i2, l2 = generator_topk_lse_reference(x, tt, 6)
+    if integer:
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    else:
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-5)
+        assert (np.asarray(i1) == np.asarray(i2)).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_beamgen_prune_skipping_tiles_is_exact():
+    """Concentrated logits where every tile after the first MUST prune
+    (tile 0 holds every row's full top-k; later tiles are strictly
+    smaller), including a later value EXACTLY EQUAL to the running kc-th
+    (ties break to the lower index, so pruning it is correct): outputs
+    must still match lax.top_k/logsumexp bit-for-bit on integer data."""
+    r, e, v, kc = (8, 8, 64, 4)
+    x = jnp.ones((r, e), jnp.float32)
+    cols = np.full(v, -2.0, np.float32)   # cols[c] == logit of column c
+    cols[:8] = np.array([9, 8, 7, 6, 5, 4, 3, 2], np.float32)  # tile 0 tops
+    cols[17] = 6.0        # == running kc-th (6) after tile 0: must NOT
+    cols[33] = -1.0       # displace the earlier index-3 entry
+    tt = jnp.asarray(np.tile((cols / e)[None, :], (e, 1)), jnp.float32)
+    v1, i1, l1 = generator_topk_lse(x, tt, kc, block_r=8, block_v=16,
+                                    interpret=True, prune=True)
+    v2, i2, l2 = generator_topk_lse_reference(x, tt, kc)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+    assert 17 not in np.asarray(i1)  # the equal-to-kth later index lost
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_beam_search_fused_step_mode_matches_logits_mode(prune):
     """Full beam_search: the fused-generator step mode must decode the
     SAME sequences and scores as the logits mode (toy linear decoder
-    whose 'generator' is a tied table matmul)."""
+    whose 'generator' is a tied table matmul); prune=True (threshold-
+    pruned selection) must be indistinguishable."""
     rng = np.random.RandomState(3)
     B, K, V, E, T = 5, 3, 97, 32, 7
     table = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32))
@@ -95,7 +139,7 @@ def test_beam_search_fused_step_mode_matches_logits_mode():
     def step_fused(state, tokens):
         state, p = proj_of(state, tokens)
         out = generator_topk_lse(p, table.T, K + 1, block_r=8,
-                                 block_v=32, interpret=True)
+                                 block_v=32, interpret=True, prune=prune)
         return state, out
 
     init = {"h": jnp.asarray(rng.normal(size=(B, E)).astype(np.float32))}
