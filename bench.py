@@ -248,6 +248,23 @@ def kernel_parity_checks() -> dict:
     results["beamgen_i8_idx_agreement"] = float(
         (np.asarray(ik) == np.asarray(ir)).mean())
 
+    # 4c. threshold-pruned beamgen (round 5; production beam decode's
+    #     dispatch default at the bench shape): random logits never fire
+    #     the skip predicate, so use column-concentrated logits (Zipf-
+    #     decayed table norms, the frequency-sorted-vocab regime) to
+    #     force real tile skips on-chip, and assert exactness incl. tie
+    #     semantics against the f32 reference.
+    decay = jnp.asarray((np.arange(VOCAB) + 1.0) ** -0.35, jnp.float32)
+    tgc = (tg.astype(jnp.float32) * decay[None, :]).astype(jnp.bfloat16)
+    vk, ik, lk = jax.device_get(generator_topk_lse(xg, tgc, BEAM + 1,
+                                                   prune=True))
+    vr, ir, lr = jax.device_get(generator_topk_lse_reference(xg, tgc,
+                                                             BEAM + 1))
+    results["beamgen_prune_val_rel_err"] = _max_rel_err(vk, vr)
+    results["beamgen_prune_lse_rel_err"] = _max_rel_err(lk, lr)
+    results["beamgen_prune_idx_agreement"] = float(
+        (np.asarray(ik) == np.asarray(ir)).mean())
+
     # 5. end-to-end: CARS loss + grad-norm, kernel config vs scan config
     #    (same params -- the pallas flags do not change the param tree)
     cfg_k, model_k, params, batch = _build_cars(True, b=16, s=3, n=10,
@@ -280,12 +297,17 @@ def kernel_parity_checks() -> dict:
            "pool_rel_err": 0.05, "train_loss_rel_err": 0.02,
            "train_gnorm_rel_err": 0.08,
            "beamgen_val_rel_err": 1e-3, "beamgen_lse_rel_err": 1e-3,
-           "beamgen_i8_val_rel_err": 1e-3, "beamgen_i8_lse_rel_err": 1e-3}
+           "beamgen_i8_val_rel_err": 1e-3, "beamgen_i8_lse_rel_err": 1e-3,
+           "beamgen_prune_val_rel_err": 1e-3,
+           "beamgen_prune_lse_rel_err": 1e-3}
     bad = {k: v for k, v in tol.items() if results[k] > v}
     if results["beamgen_idx_agreement"] < 0.999:
         bad["beamgen_idx_agreement"] = results["beamgen_idx_agreement"]
     if results["beamgen_i8_idx_agreement"] < 0.999:
         bad["beamgen_i8_idx_agreement"] = results["beamgen_i8_idx_agreement"]
+    if results["beamgen_prune_idx_agreement"] < 0.999:
+        bad["beamgen_prune_idx_agreement"] = (
+            results["beamgen_prune_idx_agreement"])
     if bad:
         raise RuntimeError(
             f"KERNEL PARITY REGRESSION: {bad} (full: {results})")
