@@ -364,7 +364,7 @@ def bench_suggest(model, params, batch, fused: bool | None = None) -> float:
     max_len = LQ + 1
     if fused is None:
         fused = prefer_fused_generator(B * S * BEAM, VOCAB, EMSIZE,
-                                       BEAM + 1)
+                                       BEAM + 1, t=max_len)
 
     @jax.jit
     def suggest(params, batch):

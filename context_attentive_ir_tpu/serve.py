@@ -476,7 +476,8 @@ class Engine:
                      else shortlist.shape[-1])
             if (jax.default_backend() == "tpu"
                     and prefer_fused_generator(n_rows, v_eff,
-                                               self.config.emsize, kc)):
+                                               self.config.emsize, kc,
+                                               t=max_len)):
                 step = make_fused_beam_step(
                     self.model, var, params, mem, mask, kc=kc,
                     dtype=compute_dtype(self.config), shortlist=shortlist)

@@ -1632,17 +1632,26 @@ def dispatch_table_beamgen():
     kcs = [int(a) for a in sys.argv[2:]] or [6, 2]
     new = []
     for kc in kcs:
-        slope = {}
+        slope, total2 = {}, {}
         for fused in (False, True):
             t2 = timed2(run(kc, fused, 2), params, batch) * 1e3
             t16 = timed2(run(kc, fused, 16), params, batch) * 1e3
             slope[fused] = (t16 - t2) / 14
+            total2[fused] = t2
             report("dispatch_beamgen", slope[fused] / 1e3, kc=kc,
                    fused=fused, t2_ms=round(t2, 2), t16_ms=round(t16, 2))
         rows = Bq * (kc - 1) if kc > 2 else Bq
+        # rows carry BOTH the per-step slope and the T=2 total: the
+        # dispatch decision extrapolates t2 + (T-2)*slope at the
+        # caller's decode length, because the two formulations have
+        # different INTERCEPTS (the fused kernel's hoisted table prep)
+        # and the slope-only comparison picked the wrong greedy winner
+        # at T=16 (PERF.md r5 #7).
         new.append(dict(kind="beam_gen", v=VOCAB, e=E, kc=kc, rows=rows,
                         fused_ms=round(slope[True], 3),
                         xla_ms=round(slope[False], 3),
+                        fused_t2_ms=round(total2[True], 3),
+                        xla_t2_ms=round(total2[False], 3),
                         block_r=320, block_v=2048, method="e2e_slope"))
     # keep beam_gen rows at other (kc, rows) keys: a `dispatch_table_
     # beamgen 2` run must not discard the measured kc=6 beam row

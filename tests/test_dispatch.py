@@ -71,6 +71,13 @@ def test_beam_gen_dispatch(tmp_path):
              fused_ms=6.3, xla_ms=8.9),
         dict(kind="beam_gen", v=5_000, e=256, kc=6, rows=1600,
              fused_ms=3.0, xla_ms=1.0),
+        # totals schema: fused wins the SLOPE (0.08 vs 0.11/step) but
+        # carries a ~6 ms one-time intercept, so it loses short decodes
+        # and wins long ones -- the decision must follow the caller's t
+        # (the round-5 greedy regression, PERF.md r5 #7)
+        dict(kind="beam_gen", v=50_000, e=256, kc=2, rows=320,
+             fused_ms=0.08, xla_ms=0.11,
+             fused_t2_ms=6.2, xla_t2_ms=0.3),
     ])
     try:
         assert dispatch.prefer_fused_generator(1600, 50_000, 256, 6)
@@ -78,6 +85,17 @@ def test_beam_gen_dispatch(tmp_path):
         assert not dispatch.prefer_fused_generator(1600, 5_000, 256, 6)
         assert not dispatch.prefer_fused_generator(1600, 50_000, 300, 6)
         assert not dispatch.prefer_fused_generator(1600, 50_000, 256, 4)
+        # t-aware: intercept-dominated at t=16 -> XLA; slope wins by
+        # t=300 (6.2 + 298*0.08 = 30.0 < 0.95 * (0.3 + 298*0.11 = 33.1))
+        assert not dispatch.prefer_fused_generator(320, 50_000, 256, 2,
+                                                   t=16)
+        assert dispatch.prefer_fused_generator(320, 50_000, 256, 2,
+                                               t=300)
+        # no t -> slope-only fallback (asymptotic decision)
+        assert dispatch.prefer_fused_generator(320, 50_000, 256, 2)
+        # t given but row predates the totals schema -> slope fallback
+        assert dispatch.prefer_fused_generator(1600, 50_000, 256, 6,
+                                               t=4)
     finally:
         _restore(old)
 
