@@ -225,7 +225,8 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
                 min_length: int = 0, length_penalty: str = "wu",
                 coverage_beta: float = 0.0, coverage_penalty: str = "wu",
                 cov_mask: jnp.ndarray | None = None,
-                topk_method: str = "auto", bookkeeping: str = "auto"):
+                topk_method: str = "auto", bookkeeping: str = "auto",
+                early_exit: bool = False):
     """Returns (best tokens [B, max_len], best score [B]); with
     ``return_nbest`` instead returns the full beams ([B, K, max_len],
     [B, K]) sorted by normalized score -- the reference beam's n-best
@@ -256,6 +257,29 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     bit-identical; ``auto`` consults the on-chip-measured dispatch
     table (the fused form measured +2.3% end-to-end at the bench shape;
     the step is generator-bound, bookkeeping ~0 -- PERF.md r4 #6/#7).
+
+    ``early_exit`` wraps each scan step in a
+    ``lax.cond(all(finished), identity, step)``: once every beam of
+    every batch row is frozen the remaining steps skip the generator /
+    model work entirely.  Exact by construction: beam totals are
+    sorted descending after every merge (``top_k`` / ``_iter_topk``
+    return descending, ties to the lower index), so an all-finished
+    step's merge provably reduces to ``parent == arange(K)`` with PAD
+    continuations at zero added log-prob -- the identity the skip
+    branch emits.  Decoder state diverges (the real step would advance
+    it on PAD inputs) but is dead past the last live step.  The win is
+    decode-length-dependent, so the default is OFF at this raw API and
+    ON at the trained-model surfaces (``serve.Engine``,
+    ``train/evaluate.py``): trained next-query models emit EOS after
+    ~3-5 tokens of a ``max_len``-step budget, while a decode that never
+    finishes (e.g. random-init params) only pays for the cond --
+    measured +5.4% on the bench beam-5 shape (PERF.md r5 #8).  One
+    caveat measured there: toggling the flag recompiles the program,
+    and at bf16 XLA may fuse the *step arithmetic* differently across
+    the two programs -- on near-tie logits (random-init models) that
+    can flip an argmax even though the early-exit logic itself is
+    exact (fused-generator beam: 0 token mismatches on-chip; XLA-step
+    greedy at random init: 69/320 rows; f32: bit-identical always).
     """
     B, K = batch_size, beam_size
     state = _tile_beam(init_state, K)
@@ -280,7 +304,7 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
     lengths = jnp.zeros((B, K), jnp.int32)
     seqs = jnp.full((B, K, max_len), PAD, jnp.int32)
 
-    def body(carry, t):
+    def live(carry, t):
         if use_fused_bk:
             state, tokens, logps, finished, lengths, cov = carry
         else:
@@ -357,6 +381,22 @@ def beam_search(step_fn: StepFn, init_state, batch_size: int, max_len: int,
         seqs_n = seqs_p.at[:, :, t].set(jnp.where(still, tok, PAD))
         return (state, tok, top_logp, finished_n, lengths_n, seqs_n,
                 cov), None
+
+    def body(carry, t):
+        if not early_exit:
+            return live(carry, t)
+
+        def frozen(c):
+            # the identity an all-finished live step provably computes:
+            # PAD continuations, parent == arange (totals stay sorted)
+            ys = ((jnp.full((B, K), PAD, jnp.int32),
+                   jnp.tile(jnp.arange(K, dtype=jnp.int32)[None], (B, 1)))
+                  if use_fused_bk else None)
+            return c, ys
+
+        # carry[3] is ``finished`` in both bookkeeping layouts
+        return jax.lax.cond(jnp.all(carry[3]), frozen,
+                            lambda c: live(c, t), carry)
 
     cov0 = None
     if has_attn and coverage_beta > 0:

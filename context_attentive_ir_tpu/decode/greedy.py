@@ -20,12 +20,23 @@ StepFn = Callable[..., tuple]  # (state, tokens) -> (state, logprobs [B, V])
 
 
 def greedy_decode(step_fn: StepFn, init_state, batch_size: int,
-                  max_len: int, min_length: int = 0):
+                  max_len: int, min_length: int = 0,
+                  early_exit: bool = False):
     """Returns (tokens [B, max_len], logprob_sum [B]).
 
     ``min_length`` forbids EOS before that many real tokens (the same
     contract as ``beam_search``'s, so a beam_size=1 run honours the
     configured ``min_decode_len``).
+
+    ``early_exit`` wraps each scan step in a
+    ``lax.cond(all(finished), identity, step)`` -- exact by
+    construction: an all-finished real step emits PAD for every row and
+    leaves ``total``/``finished`` unchanged (the decoder state it would
+    advance is dead).  Default OFF here, ON at the trained-model
+    surfaces (``serve.Engine``, ``train/evaluate.py``) -- see
+    ``beam_search`` for the regime argument, the bf16-recompile
+    near-tie caveat, and PERF.md r5 #8 for the measured numbers
+    (greedy worst case +11%; trained models skip most of the budget).
 
     FUSED-GENERATOR mode (same contract as ``beam_search``'s): ``step_fn``
     may return ``(state, (vals [B, Kc], idx [B, Kc], lse [B]))`` -- the
@@ -78,9 +89,20 @@ def greedy_decode(step_fn: StepFn, init_state, batch_size: int,
         finished = finished | (next_tok == EOS)
         return (state, next_tok, finished, total), next_tok
 
+    def wrapped(carry, t):
+        if not early_exit:
+            return body(carry, t)
+
+        def frozen(c):
+            return c, jnp.full((batch_size,), PAD, jnp.int32)
+
+        # carry[2] is ``finished``
+        return jax.lax.cond(jnp.all(carry[2]), frozen,
+                            lambda c: body(c, t), carry)
+
     bos = jnp.full((batch_size,), BOS, jnp.int32)
     fin = jnp.zeros((batch_size,), bool)
     tot = jnp.zeros((batch_size,), jnp.float32)
     (_, _, _, total), toks = jax.lax.scan(
-        body, (init_state, bos, fin, tot), jnp.arange(max_len))
+        wrapped, (init_state, bos, fin, tot), jnp.arange(max_len))
     return jnp.swapaxes(toks, 0, 1), total

@@ -79,7 +79,8 @@ class Engine:
 
     def __init__(self, config: ModelConfig, word_dict: Dictionary, params,
                  beam_size: int = 5, batch_bucket: int = 8, mesh=None,
-                 suggest_shortlist: int = 0):
+                 suggest_shortlist: int = 0,
+                 suggest_early_exit: bool = True):
         from .parallel.mesh import pad_to_multiple, replicated
 
         self.config = config
@@ -99,6 +100,12 @@ class Engine:
         # (specials + request-session tokens + most-frequent fill) --
         # approximate, quality-gated; 0 = exact full-vocab decode
         self.suggest_shortlist = min(suggest_shortlist, config.vocab_size)
+        # all-finished early exit (decode/*.py early_exit): ON at this
+        # trained-model surface -- served models emit EOS in a few steps
+        # of the max_len budget, so the skipped tail dominates the
+        # per-step cond cost a never-finishing decode would pay
+        # (PERF.md r5 #8)
+        self.suggest_early_exit = suggest_early_exit
         self._score_jit = jax.jit(self._score_impl)
         self._suggest_jit = jax.jit(partial(
             self._suggest_impl, beam_size=beam_size),
@@ -505,7 +512,8 @@ class Engine:
                     var, st, toks, mem_k, mask_k,
                     method=self.model.decode_step, **kw_k)
             return beam_search(step, state, rows, max_len, beam_size,
-                               return_nbest=True)
+                               return_nbest=True,
+                               early_exit=self.suggest_early_exit)
         step = None
         if not kwargs:
             # greedy takes the same fused generator step at kc=2 (one
@@ -516,7 +524,8 @@ class Engine:
             step = lambda st, toks: self.model.apply(
                 var, st, toks, memory, memory_mask,
                 method=self.model.decode_step, **kwargs)
-        seqs, scores = greedy_decode(step, state, rows, max_len)
+        seqs, scores = greedy_decode(step, state, rows, max_len,
+                                     early_exit=self.suggest_early_exit)
         return seqs[:, None], scores[:, None]
 
     def _suggest_session(self, history) -> Session:

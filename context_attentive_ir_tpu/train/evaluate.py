@@ -65,15 +65,19 @@ def build_decode_fn(model, config: ModelConfig, beam_size: int = 1,
             step = lambda st, toks: model.apply(
                 var, st, toks, mem_k, mask_k, method=model.decode_step,
                 **kw_k)
+            # early_exit: validation decodes run trained(-ish) models
+            # that finish in a few steps of the budget (PERF.md r5 #8)
             seqs, _ = beam_search(step, state, rows, max_len, beam_size,
-                                  cov_mask=memory_mask, **beam_kw)
+                                  cov_mask=memory_mask, early_exit=True,
+                                  **beam_kw)
         else:
             step = lambda st, toks: model.apply(
                 var, st, toks, memory, memory_mask,
                 method=model.decode_step, **kwargs)
             seqs, _ = greedy_decode(step, state, rows, max_len,
                                     min_length=beam_kw.get(
-                                        'min_length', 0))
+                                        'min_length', 0),
+                                    early_exit=True)
         return seqs
 
     fast = jax.jit(partial(decode, init_method=model.decode_init))

@@ -85,6 +85,8 @@ def main():
             hyps.extend(o[0][0].split() for o in out)
         return hyps
 
+    hyps_by_mode: dict[str, list] = {}
+
     def run(label, eng):
         t0 = time.time()
         decode_all(eng)                       # warm: compiles included
@@ -92,16 +94,33 @@ def main():
         t0 = time.time()
         hyps = decode_all(eng)                # measured: steady state
         dt = time.time() - t0
+        hyps_by_mode[label] = hyps
         bleu = corpus_bleu(hyps, golds)
         row = {"exp": "aol_shortlist_study", "mode": label,
                "vocab": cfg.vocab_size, "n_requests": len(reqs),
                "wall_s": round(dt, 2), "qps": round(len(reqs) / dt, 1),
                "compile_pass_s": round(t_warm, 1),
                **{f"bleu-{n}": round(b, 4) for n, b in enumerate(bleu, 1)}}
+        if label != "exact" and label.startswith("exact"):
+            # exact_* legs are exact-by-construction variants of the same
+            # decode; at bf16 a recompiled step can still flip near-tie
+            # argmaxes (decode/beam.py early_exit caveat), so report the
+            # count rather than assert 0
+            row["seq_mismatch"] = sum(
+                a != b for a, b in zip(hyps, hyps_by_mode["exact"]))
         print(json.dumps(row), flush=True)
         return row
 
     results = {"exact": run("exact", eng0)}
+
+    # early-exit A/B on the trained model (decode/beam.py early_exit:
+    # cond-skip of all-finished steps; trained next queries are ~3-5
+    # tokens of the max_len budget, so this is the favorable regime vs
+    # the bench's never-finishing random-init params, which pay +5.4%
+    # -- PERF.md r5 #8).  The Engine default is ON; this leg turns it
+    # off, so `exact` - `exact_noearly` is the trained-model win.
+    results["exact_noearly"] = run(
+        "exact_noearly", build(suggest_early_exit=False))
 
     # pruned-selection A/B on the trained model: force prune OFF via the
     # dispatch hook (the exact engine above resolves it from the measured

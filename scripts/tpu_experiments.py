@@ -1950,6 +1950,65 @@ def beam_fused_e2e():
           flush=True)
 
 
+def early_exit_probe():
+    """Overhead of the all-finished early-exit cond (decode/beam.py
+    ``early_exit``) in the WORST case: full CARS decode at the bench
+    shape with random-init params, which essentially never emit EOS --
+    so the skip branch never fires and the probe prices the pure cost
+    of the added per-step ``all(finished)`` reduce + ``lax.cond``
+    plumbing.  Beam-5 through the fused generator (the production
+    dispatch) and greedy through the XLA step (ditto); min-of-2; exact
+    sequence parity asserted on-chip.  The WIN side (trained models
+    that finish in ~3-5 of max_len steps) is measured on the rehearsal
+    model by scripts/aol_shortlist_study.py ``exact`` vs
+    ``exact_noearly``."""
+    import bench as bench_mod
+
+    from context_attentive_ir_tpu.decode import (
+        beam_search,
+        greedy_decode,
+        make_fused_beam_step,
+    )
+
+    _cfg, model, params, batch = bench_mod._build_cars(True)
+    Bq = bench_mod.B * bench_mod.S
+    timed2 = functools.partial(timed_min2, iters=3)
+
+    def beam(early):
+        def impl(params, batch):
+            var = {"params": params}
+            state, memory, mask = model.apply(var, batch,
+                                              method=model.decode_init)
+            rep = lambda x: jnp.repeat(x, 5, axis=0)
+            step = make_fused_beam_step(model, var, params, rep(memory),
+                                        rep(mask), kc=6)
+            return beam_search(step, state, Bq, 16, 5, early_exit=early)
+        return jax.jit(impl)
+
+    def greedy(early):
+        def impl(params, batch):
+            var = {"params": params}
+            state, memory, mask = model.apply(var, batch,
+                                              method=model.decode_init)
+            step = lambda st, toks: model.apply(
+                var, st, toks, memory, mask, method=model.decode_step)
+            return greedy_decode(step, state, Bq, 16, early_exit=early)
+        return jax.jit(impl)
+
+    outs = {}
+    for name, mk in (("beam", beam), ("greedy", greedy)):
+        for early in (False, True):
+            fn = mk(early)
+            ms = timed2(fn, params, batch)
+            report("early_exit_probe", ms, mode=name, early_exit=early,
+                   qps=round(Bq / (ms * 1e3), 1))
+            outs[(name, early)] = np.asarray(
+                jax.device_get(fn(params, batch)[0]))
+        mism = int((outs[(name, False)] != outs[(name, True)]).sum())
+        print(json.dumps({"exp": "early_exit_probe", "mode": name,
+                          "seq_mismatch": mism}), flush=True)
+
+
 def beam_parts_fused():
     """SUPERSEDED by ``beam_slope`` (PERF.md r4 #5 vs #6) -- kept for the
     record.  This parts decomposition double-counts two artifacts:
@@ -2747,5 +2806,6 @@ if __name__ == "__main__":
      "beamgen_prune_probe": beamgen_prune_probe,
      "dispatch_table_beamgen_prune": dispatch_table_beamgen_prune,
      "greedy_fused_e2e": greedy_fused_e2e,
+     "early_exit_probe": early_exit_probe,
      "beam_parts_fused": beam_parts_fused,
      "dispatch_table": dispatch_table}[exp]()

@@ -393,6 +393,101 @@ def test_bookkeeping_auto_dispatch(monkeypatch, tmp_path):
         dispatch.reload_table()
 
 
+def test_early_exit_is_bit_exact():
+    """``early_exit=True`` must reproduce the full-budget decode
+    bit-for-bit.  The skip fires only when EVERY beam of EVERY row is
+    finished, and an all-finished step is provably the identity the
+    frozen branch emits (beam totals are sorted descending after every
+    merge, so parent == arange with PAD continuations) -- exercised here
+    with a chain that finishes at step 3 of a 12-step budget, across
+    both bookkeeping modes, n-best, min_length, coverage, and the
+    fused-generator step contract, plus greedy."""
+    table = np.full((V, V), 1e-9, np.float32)
+    table[BOS, 4] = 0.6
+    table[BOS, 5] = 0.4
+    table[4, 5] = 0.8
+    table[5, EOS] = 0.95
+    table[EOS, EOS] = 1.0
+    table /= table.sum(-1, keepdims=True)
+    step = make_step(table)
+    logp = jnp.log(jnp.asarray(table))
+
+    def step_attn(state, tokens):
+        attn = jax.nn.one_hot(tokens % 3, 3)
+        return state, logp[tokens], attn
+
+    def step_topk(state, tokens):
+        row = logp[tokens]
+        lse = jax.scipy.special.logsumexp(row, axis=-1)
+        t1, i1 = jax.lax.top_k(row, 4)
+        return state, (t1, i1, lse)
+
+    cases = [
+        (step, dict(beam_size=3)),
+        (step, dict(beam_size=3, bookkeeping="legacy")),
+        (step, dict(beam_size=3, bookkeeping="fused", return_nbest=True)),
+        (step, dict(beam_size=2, min_length=2)),
+        (step_attn, dict(beam_size=2, coverage_beta=0.5,
+                         cov_mask=jnp.ones((3, 3), bool))),
+        (step_topk, dict(beam_size=3, return_nbest=True)),
+    ]
+    for fn, kw in cases:
+        a = beam_search(fn, (), 3, 12, early_exit=True, **kw)
+        b = beam_search(fn, (), 3, 12, early_exit=False, **kw)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    for fn in (step, step_topk):
+        g1 = greedy_decode(fn, (), 3, 12, early_exit=True)
+        g0 = greedy_decode(fn, (), 3, 12, early_exit=False)
+        np.testing.assert_array_equal(np.asarray(g1[0]), np.asarray(g0[0]))
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]))
+
+    # jit-compiles with the cond in place (the serving path always jits)
+    toks, _ = jax.jit(lambda: beam_search(step, (), 2, 12, beam_size=2))()
+    assert np.asarray(toks).shape == (2, 12)
+
+
+def test_early_exit_skips_the_step_function():
+    """Once all rows are finished the remaining scan steps must NOT run
+    the step function.  Detected with a step that poisons its own state
+    with NaN every call and returns state-dependent scores: under
+    early_exit the decode is clean, without it the trailing steps would
+    still be finished-masked (outputs equal) -- so assert instead via an
+    eager side-effect counter through ``io_callback``."""
+    import functools
+
+    calls = {"n": 0}
+
+    def bump():
+        calls["n"] += 1
+        return np.int32(0)
+
+    table = np.full((V, V), 1e-9, np.float32)
+    table[:, EOS] = 0.99        # EVERY continuation finishes (so both
+    table /= table.sum(-1, keepdims=True)   # beams of both rows do)
+    logp = jnp.log(jnp.asarray(table))
+
+    def step(state, tokens):
+        tick = jax.experimental.io_callback(
+            bump, jax.ShapeDtypeStruct((), jnp.int32), ordered=True)
+        return state + tick, logp[tokens] + tick.astype(jnp.float32)
+
+    run = functools.partial(beam_search, step, jnp.zeros((2,), jnp.int32),
+                            2, 8, beam_size=2)
+    calls["n"] = 0
+    run(early_exit=False)
+    full = calls["n"]
+    calls["n"] = 0
+    run(early_exit=True)
+    skipped = calls["n"]
+    # probe + step 1 (EOS) + step 2 (all-finished discovered after the
+    # merge of step 2's inputs... the predicate reads the carry, so the
+    # first skippable step is the one AFTER finished became all-true)
+    assert full >= 8                      # every budget step ran
+    assert skipped <= 3, (skipped, full)  # probe + ~2 live steps
+
+
 # -- candidate-shortlist decoding (round 5, VERDICT r4 weak #3) ---------
 
 

@@ -717,3 +717,44 @@ def test_engine_shortlist_under_mesh_matches_single_device(trained_cars):
         assert [t for t, _ in a] == [t for t, _ in b]
         np.testing.assert_allclose([v for _, v in a], [v for _, v in b],
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_engine_early_exit_default_and_parity(trained_cars, monkeypatch):
+    """The Engine enables decode early-exit by default (trained models
+    finish in a few steps -- PERF.md r5 #8) and plumbs the knob to both
+    decoders; on CPU f32 the early-exit decode is bit-identical to the
+    full-budget one (the bf16 near-tie recompile caveat is a TPU fact,
+    decode/beam.py docstring)."""
+    from context_attentive_ir_tpu import serve as serve_mod
+    from context_attentive_ir_tpu.decode import beam_search, greedy_decode
+
+    path, sessions, _ = trained_cars
+    hists = [[" ".join(q.tokens) for q in s.queries] for s in sessions[:4]]
+
+    seen = {}
+    def spy_beam(*a, **kw):
+        seen["beam"] = kw.get("early_exit")
+        return beam_search(*a, **kw)
+    def spy_greedy(*a, **kw):
+        seen["greedy"] = kw.get("early_exit")
+        return greedy_decode(*a, **kw)
+    monkeypatch.setattr(serve_mod, "beam_search", spy_beam)
+    monkeypatch.setattr(serve_mod, "greedy_decode", spy_greedy)
+
+    on_b = Engine.from_checkpoint(path, beam_size=2).suggest_batch(hists)
+    assert seen["beam"] is True
+    on_g = Engine.from_checkpoint(path, beam_size=1).suggest_batch(hists)
+    assert seen["greedy"] is True
+    off_b = Engine.from_checkpoint(
+        path, beam_size=2, suggest_early_exit=False).suggest_batch(hists)
+    assert seen["beam"] is False
+    off_g = Engine.from_checkpoint(
+        path, beam_size=1, suggest_early_exit=False).suggest_batch(hists)
+    assert seen["greedy"] is False
+
+    for on, off in ((on_b, off_b), (on_g, off_g)):
+        assert [[t for t, _ in r] for r in on] == \
+            [[t for t, _ in r] for r in off]
+        np.testing.assert_allclose(
+            [v for r in on for _, v in r],
+            [v for r in off for _, v in r], atol=1e-5, rtol=1e-5)
